@@ -1,0 +1,17 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+This is the standard way to test pjit/shard_map topologies without a TPU
+slice; the driver separately dry-runs the multi-chip path. Must run before
+jax is imported anywhere.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,173 @@
+"""Readers: host-side CSV -> frozen in-memory corpus.
+
+Contract parity with the reference (src/helpers/BaseReader.py,
+SeqReader.py): readers expose `data_df{train,dev,test}` (pandas),
+`n_users`/`n_items` (= max id + 1), `train_clicked_set` /
+`residual_clicked_set` per user, and (SeqReader) `user_his` +
+per-row `position`.
+
+TPU-first additions: every reader also materializes *fixed-shape numpy
+arrays* (`seq_arrays()`, `clicked_matrix()`) that runners place on device
+once -- the batch pipeline then assembles feeds by index gather inside
+jitted steps instead of torch DataLoader worker processes.
+"""
+from __future__ import annotations
+
+import ast
+import logging
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+
+def eval_list_columns(df: pd.DataFrame) -> pd.DataFrame:
+    """Parse list-valued string columns (e.g. neg_items) into np arrays.
+
+    Parity: reference src/utils/utils.py:47-51 (which uses eval(); we use
+    ast.literal_eval -- same accepted grammar, no code execution).
+    """
+    for col in df.columns:
+        if pd.api.types.is_object_dtype(df[col]) or isinstance(df[col].dtype, pd.StringDtype):
+            first = df[col].iloc[0] if len(df) else None
+            if isinstance(first, str) and first.strip().startswith("["):
+                df[col] = df[col].apply(lambda x: np.array(ast.literal_eval(x)))
+    return df
+
+
+class BaseReader:
+    """Top-k general reader. Parity: src/helpers/BaseReader.py."""
+
+    @staticmethod
+    def parse_data_args(parser):
+        parser.add_argument("--path", type=str, default="data/", help="Input data dir.")
+        parser.add_argument("--dataset", type=str, default="Grocery_and_Gourmet_Food", help="Choose a dataset.")
+        parser.add_argument("--sep", type=str, default="\t", help="sep of csv file.")
+        return parser
+
+    def __init__(self, args):
+        self.sep = args.sep
+        self.prefix = args.path
+        self.dataset = args.dataset
+        self._read_data()
+
+        self.train_clicked_set: Dict[int, set] = dict()
+        self.residual_clicked_set: Dict[int, set] = dict()
+        for key in ["train", "dev", "test"]:
+            df = self.data_df[key]
+            for uid, iid in zip(df["user_id"], df["item_id"]):
+                if uid not in self.train_clicked_set:
+                    self.train_clicked_set[uid] = set()
+                    self.residual_clicked_set[uid] = set()
+                if key == "train":
+                    self.train_clicked_set[uid].add(iid)
+                else:
+                    self.residual_clicked_set[uid].add(iid)
+
+    def _read_data(self):
+        logging.info('Reading data from "{}", dataset = "{}" '.format(self.prefix, self.dataset))
+        self.data_df = dict()
+        for key in ["train", "dev", "test"]:
+            path = os.path.join(self.prefix, self.dataset, key + ".csv")
+            self.data_df[key] = (
+                pd.read_csv(path, sep=self.sep).reset_index(drop=True).sort_values(by=["user_id", "time"])
+            )
+            self.data_df[key] = eval_list_columns(self.data_df[key])
+
+        logging.info("Counting dataset statistics...")
+        key_columns = ["user_id", "item_id", "time"]
+        if "label" in self.data_df["train"].columns:
+            key_columns.append("label")
+        self.all_df = pd.concat([self.data_df[k][key_columns] for k in ["train", "dev", "test"]])
+        self.n_users = int(self.all_df["user_id"].max()) + 1
+        self.n_items = int(self.all_df["item_id"].max()) + 1
+        for key in ["dev", "test"]:
+            if "neg_items" in self.data_df[key]:
+                neg_items = np.array(self.data_df[key]["neg_items"].tolist())
+                assert (neg_items >= self.n_items).sum() == 0, "negative items include unseen ids"
+        logging.info(
+            '"# user": {}, "# item": {}, "# entry": {}'.format(self.n_users - 1, self.n_items - 1, len(self.all_df))
+        )
+        if "label" in key_columns:
+            positive_num = int((self.all_df.label == 1).sum())
+            logging.info(
+                '"# positive interaction": {} ({:.1f}%)'.format(positive_num, positive_num / self.all_df.shape[0] * 100)
+            )
+
+    # ---------------- TPU-first fixed-shape corpus arrays ----------------
+
+    def clicked_matrix(self, include_residual: bool = False) -> np.ndarray:
+        """Padded per-user clicked-item matrix [n_users, max_clicked] int32.
+
+        Pad value 0 (item ids are >= 1). Used for device-side rejection
+        sampling of negatives and for test_all masking, replacing the
+        reference's python-set membership loops (BaseModel.py:206-214,
+        BaseRunner.py:244-251).
+        """
+        sets = []
+        for u in range(self.n_users):
+            s = set(self.train_clicked_set.get(u, ()))
+            if include_residual:
+                s = s | set(self.residual_clicked_set.get(u, ()))
+            sets.append(s)
+        max_len = max(1, max(len(s) for s in sets))
+        mat = np.zeros((self.n_users, max_len), dtype=np.int32)
+        for u, s in enumerate(sets):
+            if s:
+                mat[u, : len(s)] = sorted(s)
+        return mat
+
+
+class SeqReader(BaseReader):
+    """Sequential reader: global time-sorted history + per-row position.
+
+    Parity: src/helpers/SeqReader.py (mergesort for stability).
+    """
+
+    def __init__(self, args):
+        super().__init__(args)
+        self._append_his_info()
+
+    def _append_his_info(self):
+        logging.info("Appending history info...")
+        sort_df = self.all_df.sort_values(by=["time", "user_id"], kind="mergesort")
+        position = list()
+        self.user_his: Dict[int, list] = dict()
+        for uid, iid, t in zip(sort_df["user_id"], sort_df["item_id"], sort_df["time"]):
+            if uid not in self.user_his:
+                self.user_his[uid] = list()
+            position.append(len(self.user_his[uid]))
+            self.user_his[uid].append((iid, t))
+        sort_df = sort_df.copy()
+        sort_df["position"] = position
+        for key in ["train", "dev", "test"]:
+            self.data_df[key] = pd.merge(
+                left=self.data_df[key], right=sort_df, how="left", on=["user_id", "item_id", "time"]
+            )
+
+    def history_arrays(self, df: pd.DataFrame, history_max: int):
+        """Fixed-shape [n_rows, history_max] history items/times + lengths.
+
+        Vectorized equivalent of the reference's per-row feed-dict slicing
+        (BaseModel.py:236-245): history = user_his[u][:position][-history_max:],
+        left-aligned, zero-padded.
+        """
+        n = len(df)
+        his_items = np.zeros((n, history_max), dtype=np.int32)
+        his_times = np.zeros((n, history_max), dtype=np.int64)
+        lengths = np.zeros((n,), dtype=np.int32)
+        users = df["user_id"].to_numpy()
+        positions = df["position"].to_numpy()
+        # per-user numpy views (item, time) for slicing
+        his_np = {u: np.asarray(h, dtype=np.int64) for u, h in self.user_his.items()}
+        for r in range(n):
+            u, p = users[r], int(positions[r])
+            if p <= 0:
+                continue
+            h = his_np[u][max(0, p - history_max) : p]
+            L = len(h)
+            his_items[r, :L] = h[:, 0]
+            his_times[r, :L] = h[:, 1]
+            lengths[r] = L
+        return his_items, his_times, lengths

@@ -1,0 +1,7 @@
+"""Bind reader classes into the registry (kept separate so readers.py has
+no registry dependency and can be unit-tested standalone)."""
+from rechorus_tpu import registry
+from rechorus_tpu.data.readers import BaseReader, SeqReader
+
+registry.register_reader("BaseReader")(BaseReader)
+registry.register_reader("SeqReader")(SeqReader)

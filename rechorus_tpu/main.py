@@ -1,0 +1,159 @@
+"""CLI entry point.
+
+Parity surface: reference src/main.py -- same two-stage arg parsing
+(--model_name/--model_mode first, then a parser composed from
+global + reader + runner + model argument groups), corpus pickle cache,
+'Test Before Training' sanity eval, final dev/test eval, top-100
+prediction export, and the exact log-line grammar exp.py parses.
+Class names resolve through explicit registries instead of eval()
+(reference main.py:164-166).
+
+Usage:
+  python -m rechorus_tpu.main --model_name BPRMF --emb_size 64 \
+      --dataset Grocery_and_Gourmet_Food --path data/
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pickle
+import sys
+
+import numpy as np
+
+from rechorus_tpu import registry
+from rechorus_tpu.data.batching import get_batcher
+from rechorus_tpu.models.base import count_variables
+from rechorus_tpu.utils import io as utils
+from rechorus_tpu.utils.rng import init_seed
+
+
+def parse_global_args(parser):
+    parser.add_argument("--gpu", type=str, default="0",
+                        help="Kept for CLI parity; device selection is JAX-managed on TPU.")
+    parser.add_argument("--verbose", type=int, default=logging.INFO, help="Logging Level, 0, 10, ..., 50")
+    parser.add_argument("--log_file", type=str, default="", help="Logging file path")
+    parser.add_argument("--random_seed", type=int, default=0, help="Random seed of numpy and jax.")
+    parser.add_argument("--load", type=int, default=0, help="Whether load model and continue to train")
+    parser.add_argument("--train", type=int, default=1, help="To train the model or not.")
+    parser.add_argument("--save_final_results", type=int, default=1, help="To save the final validation and test results or not.")
+    parser.add_argument("--regenerate", type=int, default=0, help="Whether to regenerate intermediate files")
+    return parser
+
+
+def build_corpus(args, reader_cls):
+    """Pickle-cache the corpus like reference main.py:58-65."""
+    appendix = ""
+    corpus_path = os.path.join(args.path, args.dataset, reader_cls.__name__ + appendix + ".pkl")
+    if not args.regenerate and os.path.exists(corpus_path):
+        logging.info("Load corpus from {}".format(corpus_path))
+        with open(corpus_path, "rb") as f:
+            return pickle.load(f)
+    corpus = reader_cls(args)
+    try:
+        logging.info("Save corpus to {}".format(corpus_path))
+        with open(corpus_path, "wb") as f:
+            pickle.dump(corpus, f)
+    except OSError:
+        logging.warning("Could not cache corpus (read-only data dir?)")
+    return corpus
+
+
+def save_rec_results(args, corpus, model, runner, state, batchers, arrays, topk: int = 100):
+    """Export top-k predictions per eval row (reference main.py:98-153).
+
+    For the base ranking task we export the candidate ranking; full
+    task-mode variants (CTR probabilities, impression lists) are handled
+    by their runners.
+    """
+    result_path = os.path.join(args.path, args.dataset, "rec-{}-{}.csv".format(model.registered_name, "test"))
+    utils.check_dir(result_path)
+    logging.info("Saving top-{} recommendation results to: {}".format(topk, result_path))
+    ranks = runner.predict_ranks(state, model, batchers["test"], arrays["test"], "test")
+    import pandas as pd
+
+    df = corpus.data_df["test"].copy()
+    out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "gt_rank": ranks})
+    out.to_csv(result_path, sep=args.sep, index=False)
+
+
+def main(args, model_cls, reader_cls, runner_cls):
+    logging.info("-" * 45 + " BEGIN: " + utils.get_time() + " " + "-" * 45)
+    exclude = ["check_epoch", "log_file", "model_path", "path", "pin_memory", "load",
+               "regenerate", "sep", "train", "verbose", "metric", "test_epoch", "buffer"]
+    logging.info(utils.format_arg_str(args, exclude_lst=exclude))
+
+    init_seed(args.random_seed)
+
+    corpus = build_corpus(args, reader_cls)
+
+    # model + batchers
+    model = model_cls.from_args(args, corpus)
+    logging.info(model_cls.__name__)
+    batcher_cls = get_batcher(model_cls.batcher)
+    batchers = {phase: batcher_cls(corpus, model, phase, args) for phase in ["train", "dev", "test"]}
+    arrays = {phase: b.device_arrays() for phase, b in batchers.items()}
+
+    runner = runner_cls(args)
+    state = runner.init_state(model, batchers["train"], args.random_seed)
+    logging.info("#params: {}".format(count_variables(state.params)))
+
+    if args.load > 0:
+        state = runner.load_model(state)
+
+    logging.info(
+        "Test Before Training: " + runner.print_res(state, model, batchers["test"], arrays["test"], "test")
+    )
+
+    if args.train > 0:
+        state = runner.train(model, batchers, state)
+
+    eval_res = runner.print_res(state, model, batchers["dev"], arrays["dev"], "dev")
+    logging.info(os.linesep + "Dev  After Training: " + eval_res)
+    eval_res = runner.print_res(state, model, batchers["test"], arrays["test"], "test")
+    logging.info("Test After Training: " + eval_res)
+
+    if args.save_final_results == 1:
+        save_rec_results(args, corpus, model, runner, state, batchers, arrays)
+
+    model.actions_after_train()
+    logging.info(os.linesep + "-" * 45 + " END: " + utils.get_time() + " " + "-" * 45)
+    return state
+
+
+def build_parser_and_run(argv=None):
+    init_parser = argparse.ArgumentParser(description="Model", add_help=False)
+    init_parser.add_argument("--model_name", type=str, default="BPRMF", help="Choose a model to run.")
+    init_parser.add_argument("--model_mode", type=str, default="", help="Task mode suffix (e.g. CTR, TopK, Impression).")
+    init_args, init_extras = init_parser.parse_known_args(argv)
+
+    model_cls = registry.get_model(init_args.model_name, init_args.model_mode)
+    reader_cls = registry.get_reader(model_cls.reader)
+    runner_cls = registry.get_runner(model_cls.runner)
+
+    parser = argparse.ArgumentParser(parents=[init_parser])
+    parser = parse_global_args(parser)
+    parser = reader_cls.parse_data_args(parser)
+    parser = runner_cls.parse_runner_args(parser)
+    parser = model_cls.parse_model_args(parser)
+    args, extras = parser.parse_known_args(argv)
+    if extras:
+        logging.warning("Unrecognized args: %s", extras)
+
+    # log/model file names embed extra_log_args (reference main.py:182-189)
+    log_args = [init_args.model_name + init_args.model_mode, args.dataset, str(args.random_seed)]
+    for arg in ["lr", "l2"] + model_cls.extra_log_args:
+        log_args.append(arg + "=" + str(getattr(args, arg)))
+    log_file_name = "__".join(log_args).replace(" ", "__")
+    if args.log_file == "":
+        args.log_file = "../log/{}/{}.txt".format(init_args.model_name + init_args.model_mode, log_file_name)
+    if args.model_path == "":
+        args.model_path = "../model/{}/{}.bin".format(init_args.model_name + init_args.model_mode, log_file_name)
+
+    utils.init_logging(args.log_file, args.verbose)
+    return main(args, model_cls, reader_cls, runner_cls)
+
+
+if __name__ == "__main__":
+    build_parser_and_run()

@@ -1,0 +1,328 @@
+"""Top-k train/eval runner.
+
+Parity surface: reference src/helpers/BaseRunner.py (flags, train loop
+control: best-dev checkpointing, early stop, log-line grammar, metric
+semantics). TPU-first internals:
+
+  * The whole training epoch is ONE jitted `lax.scan` over shuffled batch
+    indices -- batch assembly (gather), negative sampling, the anti-leak
+    candidate permutation, forward, loss, backward and the optimizer
+    update all run on device; the host sees one scalar (mean loss) per
+    epoch. (Reference: python DataLoader loop with per-step host<->device
+    syncs, BaseRunner.py:174-208.)
+  * Evaluation is a jitted scan producing ground-truth ranks on device;
+    host only computes means (exact reference tie semantics, see
+    ops/metrics.py).
+  * Optimizer: optax; `--l2` matches torch Adam's weight_decay (L2 added
+    to gradients before the update), biases excluded like
+    `customize_parameters` (reference BaseModel.py:64-73).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from time import time
+from typing import Dict, List
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rechorus_tpu import registry
+from rechorus_tpu.ops import metrics as metrics_ops
+from rechorus_tpu.utils import io as utils
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: dict
+    extra_vars: dict  # non-trainable collections (batch_stats, constants)
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def _decay_mask(params):
+    """L2 applies to every param except biases (name == 'bias' or 1-D),
+    matching reference customize_parameters (BaseModel.py:64-73)."""
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {k: (k[-1] != "bias") for k in flat}
+    return flax.traverse_util.unflatten_dict(mask)
+
+
+def build_optimizer(name: str, lr: float, l2: float) -> optax.GradientTransformation:
+    name_l = name.lower()
+    base = {
+        "adam": optax.adam,
+        "sgd": optax.sgd,
+        "adagrad": optax.adagrad,
+        "adadelta": optax.adadelta,
+        "adamw": optax.adamw,
+    }.get(name_l)
+    if base is None:
+        raise ValueError(f"Unknown optimizer: {name}")
+    txs = []
+    if l2 > 0 and name_l != "adamw":
+        txs.append(optax.add_decayed_weights(l2, mask=_decay_mask))
+    txs.append(base(lr))
+    return optax.chain(*txs)
+
+
+@registry.register_runner("BaseRunner")
+class BaseRunner:
+    evaluate_method = staticmethod(metrics_ops.evaluate_topk)
+
+    @staticmethod
+    def parse_runner_args(parser):
+        parser.add_argument("--epoch", type=int, default=200, help="Number of epochs.")
+        parser.add_argument("--check_epoch", type=int, default=10, help="Check some tensors every check_epoch.")
+        parser.add_argument("--test_epoch", type=int, default=-1, help="Print test results every test_epoch (-1 means no print).")
+        parser.add_argument("--early_stop", type=int, default=10, help="The number of epochs when dev results drop continuously.")
+        parser.add_argument("--lr", type=float, default=1e-3, help="Learning rate.")
+        parser.add_argument("--l2", type=float, default=0, help="Weight decay in optimizer.")
+        parser.add_argument("--batch_size", type=int, default=256, help="Batch size during training.")
+        parser.add_argument("--eval_batch_size", type=int, default=256, help="Batch size during testing.")
+        parser.add_argument("--optimizer", type=str, default="Adam", help="optimizer: SGD, Adam, Adagrad, Adadelta")
+        parser.add_argument("--num_workers", type=int, default=0, help="Kept for CLI parity; input pipeline is on-device.")
+        parser.add_argument("--pin_memory", type=int, default=0, help="Kept for CLI parity.")
+        parser.add_argument("--topk", type=str, default="5,10,20,50", help="The number of items recommended to each user.")
+        parser.add_argument("--metric", type=str, default="NDCG,HR", help="metrics: NDCG, HR")
+        parser.add_argument("--main_metric", type=str, default="", help="Main metric to determine the best model.")
+        return parser
+
+    def __init__(self, args):
+        self.args = args
+        self.epoch = args.epoch
+        self.check_epoch = args.check_epoch
+        self.test_epoch = args.test_epoch
+        self.early_stop = args.early_stop
+        self.learning_rate = args.lr
+        self.l2 = args.l2
+        self.batch_size = args.batch_size
+        self.eval_batch_size = args.eval_batch_size
+        self.optimizer_name = args.optimizer
+        self.topk = [int(x) for x in args.topk.split(",")]
+        self.metrics = [m.strip().upper() for m in args.metric.split(",")]
+        self.main_metric = (
+            "{}@{}".format(self.metrics[0], self.topk[0]) if not args.main_metric else args.main_metric
+        )
+        self.main_topk = int(self.main_metric.split("@")[1]) if "@" in self.main_metric else self.topk[0]
+        self.model_path = getattr(args, "model_path", "")
+        self.random_seed = getattr(args, "random_seed", 0)
+        self.time = None
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ #
+    def _check_time(self, start=False):
+        if self.time is None or start:
+            self.time = [time()] * 2
+            return self.time[0]
+        tmp_time = self.time[1]
+        self.time[1] = time()
+        return self.time[1] - tmp_time
+
+    # ------------------------------------------------------------------ #
+    # state & checkpointing
+    def init_state(self, model, batcher, seed: int) -> TrainState:
+        arrays = batcher.device_arrays()
+        idx = jnp.arange(min(2, len(batcher)), dtype=jnp.int32)
+        key = jax.random.key(seed)
+        feed = batcher.train_feed(arrays, idx, key) if batcher.phase == "train" else batcher.eval_feed(arrays, idx)
+        variables = model.init({"params": key, "dropout": key}, feed, training=False)
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        tx = build_optimizer(self.optimizer_name, self.learning_rate, self.l2)
+        opt_state = tx.init(params)
+        self._tx = tx
+        return TrainState(params=params, extra_vars=extra, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    def save_model(self, state: TrainState, model_path: str = None):
+        path = model_path or self.model_path
+        utils.check_dir(path)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes({"params": state.params, "extra_vars": state.extra_vars}))
+
+    def load_model(self, state: TrainState, model_path: str = None) -> TrainState:
+        path = model_path or self.model_path
+        with open(path, "rb") as f:
+            restored = flax.serialization.from_bytes(
+                {"params": state.params, "extra_vars": state.extra_vars}, f.read()
+            )
+        return state.replace(params=restored["params"], extra_vars=restored["extra_vars"])
+
+    # ------------------------------------------------------------------ #
+    # jitted program builders (cached per phase)
+    def _get_epoch_fn(self, model, batcher, arrays):
+        if "train" in self._compiled:
+            return self._compiled["train"]
+        tx = self._tx
+
+        def step_fn(state: TrainState, xs):
+            idx, key = xs
+            feed_key, neg_key, perm_key, drop_key = jax.random.split(key, 4)
+            feed = batcher.train_feed(arrays, idx, neg_key)
+            # anti-position-leak permutation (ranking tasks only)
+            inv = None
+            if "item_id" in feed and feed["item_id"].ndim == 2:
+                from rechorus_tpu.ops import sampling
+
+                feed["item_id"], inv = sampling.permute_candidates(perm_key, feed["item_id"])
+
+            def loss_fn(params):
+                variables = {"params": params, **state.extra_vars}
+                mutable = [k for k in state.extra_vars if k == "batch_stats"]
+                if mutable:
+                    out, new_vars = model.apply(
+                        variables, feed, training=True, rngs={"dropout": drop_key}, mutable=mutable
+                    )
+                else:
+                    out = model.apply(variables, feed, training=True, rngs={"dropout": drop_key})
+                    new_vars = {}
+                if inv is not None and out["prediction"].ndim == 2:
+                    from rechorus_tpu.ops import sampling
+
+                    out["prediction"] = sampling.restore_predictions(out["prediction"], inv)
+                loss = model.loss(out, feed)
+                return loss, new_vars
+
+            (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            extra = dict(state.extra_vars)
+            extra.update(new_vars)
+            new_state = TrainState(
+                params=new_params, extra_vars=extra, opt_state=new_opt, step=state.step + 1
+            )
+            return new_state, loss
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(state: TrainState, perm: jnp.ndarray, epoch_key: jax.Array):
+            keys = jax.random.split(epoch_key, perm.shape[0])
+            state, losses = jax.lax.scan(step_fn, state, (perm, keys))
+            return state, losses.mean()
+
+        self._compiled["train"] = epoch_fn
+        return epoch_fn
+
+    def _get_eval_fn(self, model, batcher, arrays, phase: str):
+        if phase in self._compiled:
+            return self._compiled[phase]
+
+        def rank_step(variables, idx):
+            feed = batcher.eval_feed(arrays, idx)
+            out = model.apply(variables, feed, training=False)
+            pred = out["prediction"]
+            if getattr(batcher, "test_all", False):
+                tscore = jnp.take_along_axis(pred, feed["_target"][:, None].astype(jnp.int32), axis=1)[:, 0]
+                B = pred.shape[0]
+                pred = pred.at[:, 0].set(-jnp.inf)
+                pred = pred.at[jnp.arange(B)[:, None], feed["_clicked_rows"]].set(-jnp.inf)
+                ranks = 1 + (pred >= tscore[:, None]).sum(axis=-1)
+            else:
+                ranks = metrics_ops.gt_rank(pred)
+            return variables, ranks
+
+        @jax.jit
+        def eval_fn(params, extra_vars, idx_mat):
+            variables = {"params": params, **extra_vars}
+            _, ranks = jax.lax.scan(rank_step, variables, idx_mat)
+            return ranks.reshape(-1)
+
+        self._compiled[phase] = eval_fn
+        return eval_fn
+
+    # ------------------------------------------------------------------ #
+    def _batch_index_matrix(self, n: int, batch_size: int, perm: np.ndarray = None) -> np.ndarray:
+        """[n_batches, B] index matrix; tail padded by wrap-around."""
+        order = perm if perm is not None else np.arange(n)
+        n_batches = max(1, (n + batch_size - 1) // batch_size)
+        padded = np.resize(order, n_batches * batch_size)
+        return padded.reshape(n_batches, batch_size).astype(np.int32)
+
+    def fit(self, state: TrainState, model, batcher, arrays, epoch: int, rng_key) -> tuple:
+        epoch_key = jax.random.fold_in(rng_key, epoch)
+        perm = np.asarray(jax.random.permutation(jax.random.fold_in(epoch_key, 1), len(batcher)))
+        idx_mat = jnp.asarray(self._batch_index_matrix(len(batcher), self.batch_size, perm))
+        epoch_fn = self._get_epoch_fn(model, batcher, arrays)
+        state, loss = epoch_fn(state, idx_mat, jax.random.fold_in(epoch_key, 2))
+        return state, float(loss)
+
+    def predict_ranks(self, state: TrainState, model, batcher, arrays, phase: str) -> np.ndarray:
+        n = len(batcher)
+        idx_mat = jnp.asarray(self._batch_index_matrix(n, self.eval_batch_size))
+        eval_fn = self._get_eval_fn(model, batcher, arrays, phase)
+        ranks = np.asarray(eval_fn(state.params, state.extra_vars, idx_mat))
+        return ranks[:n]  # drop wrap-around padding
+
+    def evaluate(self, state, model, batcher, arrays, phase, topks, metric_names) -> Dict[str, float]:
+        ranks = self.predict_ranks(state, model, batcher, arrays, phase)
+        return metrics_ops.evaluate_topk_from_ranks(ranks, topks, metric_names)
+
+    def print_res(self, state, model, batcher, arrays, phase) -> str:
+        result_dict = self.evaluate(state, model, batcher, arrays, phase, self.topk, self.metrics)
+        return "({})".format(utils.format_metric(result_dict))
+
+    # ------------------------------------------------------------------ #
+    def train(self, model, batchers: Dict[str, object], state: TrainState = None) -> TrainState:
+        arrays = {phase: b.device_arrays() for phase, b in batchers.items()}
+        rng_key = jax.random.key(self.random_seed)
+        if state is None:
+            state = self.init_state(model, batchers["train"], self.random_seed)
+        main_metric_results, dev_results = list(), list()
+        self._check_time(start=True)
+        best_state = state
+        stop_reason = None
+        for epoch in range(self.epoch):
+            self._check_time()
+            state, loss = self.fit(state, model, batchers["train"], arrays["train"], epoch + 1, rng_key)
+            if np.isnan(loss):
+                logging.info("Loss is Nan. Stop training at %d." % (epoch + 1))
+                break
+            training_time = self._check_time()
+
+            dev_result = self.evaluate(
+                state, model, batchers["dev"], arrays["dev"], "dev", [self.main_topk], self.metrics
+            )
+            dev_results.append(dev_result)
+            main_metric_results.append(dev_result[self.main_metric])
+            logging_str = "Epoch {:<5} loss={:<.4f} [{:<3.1f} s]\tdev=({})".format(
+                epoch + 1, loss, training_time, utils.format_metric(dev_result)
+            )
+
+            if self.test_epoch > 0 and epoch % self.test_epoch == 0:
+                test_result = self.evaluate(
+                    state, model, batchers["test"], arrays["test"], "test", self.topk[:1], self.metrics
+                )
+                logging_str += " test=({})".format(utils.format_metric(test_result))
+            testing_time = self._check_time()
+            logging_str += " [{:<.1f} s]".format(testing_time)
+
+            if max(main_metric_results) == main_metric_results[-1] or getattr(model, "stage", 0) == 1:
+                # epoch_fn donates its input state; keep an unaliased copy
+                best_state = jax.tree.map(jnp.copy, state)
+                if self.model_path:
+                    self.save_model(state)
+                logging_str += " *"
+            logging.info(logging_str)
+
+            if self.early_stop > 0 and self.eval_termination(main_metric_results):
+                logging.info("Early stop at %d based on dev result." % (epoch + 1))
+                break
+
+        best_epoch = main_metric_results.index(max(main_metric_results))
+        logging.info(
+            os.linesep
+            + "Best Iter(dev)={:>5}\t dev=({}) [{:<.1f} s] ".format(
+                best_epoch + 1, utils.format_metric(dev_results[best_epoch]), self.time[1] - self.time[0]
+            )
+        )
+        return best_state
+
+    def eval_termination(self, criterion: List[float]) -> bool:
+        if len(criterion) > self.early_stop and utils.non_increasing(criterion[-self.early_stop:]):
+            return True
+        elif len(criterion) - criterion.index(max(criterion)) > self.early_stop:
+            return True
+        return False

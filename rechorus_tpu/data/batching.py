@@ -126,6 +126,87 @@ class GeneralBatcher(Batcher):
         return feed
 
 
+@register_batcher("ctr")
+class CTRBatcher(Batcher):
+    """Pointwise rows: item_id [B,1], label [B]; no negative sampling.
+
+    Parity: reference CTRModel.Dataset (BaseModel.py:276-288).
+    """
+
+    def build(self):
+        df = self.corpus.data_df[self.phase]
+        self._df = df
+        self.n = len(df)
+        self.arrays["user_id"] = df["user_id"].to_numpy().astype(np.int32)
+        self.arrays["target_item"] = df["item_id"].to_numpy().astype(np.int32)
+        self.arrays["label"] = df["label"].to_numpy().astype(np.float32)
+
+    def _feed(self, arrays, idx):
+        users = arrays["user_id"][idx]
+        return {
+            "user_id": users,
+            "item_id": arrays["target_item"][idx][:, None],
+            "label": arrays["label"][idx],
+            "batch_size": users.shape[0],
+        }
+
+    def train_feed(self, arrays, idx, key):
+        return self._feed(arrays, idx)
+
+    def eval_feed(self, arrays, idx):
+        return self._feed(arrays, idx)
+
+
+def _add_situation(batcher, df):
+    """Pack per-row situation features into cat/float blocks."""
+    from rechorus_tpu.data.context import is_categorical
+
+    situ = list(batcher.corpus.situation_feature_names)
+    cat_cols = [c for c in situ if is_categorical(c)]
+    flt_cols = [c for c in situ if not is_categorical(c)]
+    if cat_cols:
+        batcher.arrays["situ_cat"] = df[cat_cols].to_numpy().astype(np.int32)
+    if flt_cols:
+        batcher.arrays["situ_float"] = df[flt_cols].to_numpy().astype(np.float32)
+
+
+def _situ_feed(batcher, feed, arrays, idx):
+    if "situ_cat" in arrays:
+        feed["situ_cat"] = arrays["situ_cat"][idx]
+    if "situ_float" in arrays:
+        feed["situ_float"] = arrays["situ_float"][idx]
+    return feed
+
+
+@register_batcher("context")
+class ContextBatcher(GeneralBatcher):
+    """General top-k + situation blocks; user/item feature matrices live
+    in the model's constants (see models/base._ContextFields)."""
+
+    def build(self):
+        super().build()
+        _add_situation(self, self.corpus.data_df[self.phase])
+
+    def train_feed(self, arrays, idx, key):
+        return _situ_feed(self, super().train_feed(arrays, idx, key), arrays, idx)
+
+    def eval_feed(self, arrays, idx):
+        return _situ_feed(self, super().eval_feed(arrays, idx), arrays, idx)
+
+
+@register_batcher("context_ctr")
+class ContextCTRBatcher(CTRBatcher):
+    def build(self):
+        super().build()
+        _add_situation(self, self._df)
+
+    def train_feed(self, arrays, idx, key):
+        return _situ_feed(self, super().train_feed(arrays, idx, key), arrays, idx)
+
+    def eval_feed(self, arrays, idx):
+        return _situ_feed(self, super().eval_feed(arrays, idx), arrays, idx)
+
+
 @register_batcher("sequential")
 class SequentialBatcher(GeneralBatcher):
     """Adds history_items/history_times/lengths, filters position>0 rows.
@@ -169,3 +250,64 @@ class SequentialBatcher(GeneralBatcher):
         feed["history_times"] = arrays["history_times"][idx]
         feed["lengths"] = arrays["lengths"][idx]
         return feed
+
+
+@register_batcher("context_seq")
+class ContextSeqBatcher(SequentialBatcher):
+    """Sequential top-k + situation blocks (+ historical situations).
+
+    History item features are gathered in-model from the constants
+    matrices by history_items id (reference instead precomputes
+    history_<feature> columns per row, BaseContextModel.py:110-124).
+    """
+
+    def build(self):
+        super().build()
+        _add_situation(self, self._df)
+        if getattr(self.model, "add_historical_situations", 0):
+            self.arrays["history_situ"] = self.corpus.history_situ_arrays(
+                self._df, self.model.history_max
+            ).astype(np.int32)
+
+    def train_feed(self, arrays, idx, key):
+        feed = _situ_feed(self, super().train_feed(arrays, idx, key), arrays, idx)
+        if "history_situ" in arrays:
+            feed["history_situ"] = arrays["history_situ"][idx]
+        return feed
+
+    def eval_feed(self, arrays, idx):
+        feed = _situ_feed(self, super().eval_feed(arrays, idx), arrays, idx)
+        if "history_situ" in arrays:
+            feed["history_situ"] = arrays["history_situ"][idx]
+        return feed
+
+
+@register_batcher("context_seq_ctr")
+class ContextSeqCTRBatcher(CTRBatcher):
+    """Pointwise CTR rows + history arrays (position>0 rows only,
+    reference ContextSeqCTRModel.Dataset, BaseContextModel.py:144-166)."""
+
+    def build(self):
+        df = self.corpus.data_df[self.phase]
+        keep = df["position"].to_numpy() > 0
+        df = df[keep].reset_index(drop=True)
+        self._df = df
+        self.n = len(df)
+        self.arrays["user_id"] = df["user_id"].to_numpy().astype(np.int32)
+        self.arrays["target_item"] = df["item_id"].to_numpy().astype(np.int32)
+        self.arrays["label"] = df["label"].to_numpy().astype(np.float32)
+        H = self.model.history_max
+        his_items, his_times, lengths = self.corpus.history_arrays(df, H)
+        self.arrays["history_items"] = his_items
+        self.arrays["history_times"] = his_times
+        self.arrays["lengths"] = lengths
+        _add_situation(self, df)
+        if getattr(self.model, "add_historical_situations", 0):
+            self.arrays["history_situ"] = self.corpus.history_situ_arrays(df, H).astype(np.int32)
+
+    def _feed(self, arrays, idx):
+        feed = super()._feed(arrays, idx)
+        for k in ["history_items", "history_times", "lengths", "history_situ"]:
+            if k in arrays:
+                feed[k] = arrays[k][idx]
+        return _situ_feed(self, feed, arrays, idx)

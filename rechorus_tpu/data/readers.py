@@ -119,6 +119,78 @@ class BaseReader:
         return mat
 
 
+class ContextReader(BaseReader):
+    """Context/CTR reader: item/user metadata + feature vocab sizes.
+
+    Parity: src/helpers/ContextReader.py -- feature name conventions
+    i_*/u_*/c_* with suffix _c categorical / _f float (data/README.md:
+    47-60); feature_max[f] = vocab size across splits.
+    """
+
+    @staticmethod
+    def parse_data_args(parser):
+        parser.add_argument("--include_item_features", type=int, default=0,
+                            help="Whether include item context features (0 or 1).")
+        parser.add_argument("--include_user_features", type=int, default=0,
+                            help="Whether include user context features (0 or 1).")
+        parser.add_argument("--include_situation_features", type=int, default=0,
+                            help="Whether include situation (i.e., dynamic context) features (0 or 1).")
+        return BaseReader.parse_data_args(parser)
+
+    def __init__(self, args):
+        super().__init__(args)
+        self.include_item_features = args.include_item_features
+        self.include_user_features = args.include_user_features
+        self.include_situation_features = args.include_situation_features
+        self._load_ui_metadata()
+        self._collect_context()
+
+    def _load_ui_metadata(self):
+        self.item_meta_df, self.user_meta_df = None, None
+        item_meta_path = os.path.join(self.prefix, self.dataset, "item_meta.csv")
+        user_meta_path = os.path.join(self.prefix, self.dataset, "user_meta.csv")
+        if os.path.exists(item_meta_path) and self.include_item_features:
+            self.item_meta_df = pd.read_csv(item_meta_path, sep=self.sep)
+            self.item_feature_names = sorted([c for c in self.item_meta_df.columns if c[:2] == "i_"])
+        else:
+            self.item_feature_names = []
+        if os.path.exists(user_meta_path) and self.include_user_features:
+            self.user_meta_df = pd.read_csv(user_meta_path, sep=self.sep)
+            self.user_feature_names = sorted([c for c in self.user_meta_df.columns if c[:2] == "u_"])
+        else:
+            self.user_feature_names = []
+        if self.include_situation_features:
+            self.situation_feature_names = sorted([c for c in self.data_df["train"].columns if c[:2] == "c_"])
+        else:
+            self.situation_feature_names = []
+
+    def _collect_context(self):
+        logging.info("Collect context features...")
+        id_columns = ["user_id", "item_id"]
+        self.item_features, self.user_features = None, None
+        self.feature_max = dict()
+        for key in ["train", "dev", "test"]:
+            ids_df = self.data_df[key][id_columns]
+            for f in id_columns:
+                self.feature_max[f] = max(self.feature_max.get(f, 0), int(ids_df[f].max()) + 1)
+            if self.include_situation_features and len(self.situation_feature_names):
+                context_df = self.data_df[key][self.situation_feature_names]
+                for f in self.situation_feature_names:
+                    self.feature_max[f] = max(self.feature_max.get(f, 0), int(context_df[f].max()) + 1)
+        if self.item_meta_df is not None and self.include_item_features:
+            item_df = self.item_meta_df[["item_id"] + self.item_feature_names]
+            self.item_features = item_df.set_index("item_id").to_dict(orient="index")
+            for f in self.item_feature_names:
+                self.feature_max[f] = max(self.feature_max.get(f, 0), int(item_df[f].max()) + 1)
+            logging.info("# Item Features: %d" % (item_df.shape[1]))
+        if self.user_meta_df is not None and self.include_user_features:
+            user_df = self.user_meta_df[["user_id"] + self.user_feature_names].set_index("user_id")
+            self.user_features = user_df.to_dict(orient="index")
+            for f in self.user_feature_names:
+                self.feature_max[f] = max(self.feature_max.get(f, 0), int(user_df[f].max()) + 1)
+            logging.info("# User Features: %d" % (user_df.shape[1]))
+
+
 class SeqReader(BaseReader):
     """Sequential reader: global time-sorted history + per-row position.
 
@@ -146,6 +218,11 @@ class SeqReader(BaseReader):
                 left=self.data_df[key], right=sort_df, how="left", on=["user_id", "item_id", "time"]
             )
 
+    def _history_views(self):
+        if not hasattr(self, "_his_np"):
+            self._his_np = {u: np.asarray(h, dtype=np.int64) for u, h in self.user_his.items()}
+        return self._his_np
+
     def history_arrays(self, df: pd.DataFrame, history_max: int):
         """Fixed-shape [n_rows, history_max] history items/times + lengths.
 
@@ -159,8 +236,7 @@ class SeqReader(BaseReader):
         lengths = np.zeros((n,), dtype=np.int32)
         users = df["user_id"].to_numpy()
         positions = df["position"].to_numpy()
-        # per-user numpy views (item, time) for slicing
-        his_np = {u: np.asarray(h, dtype=np.int64) for u, h in self.user_his.items()}
+        his_np = self._history_views()
         for r in range(n):
             u, p = users[r], int(positions[r])
             if p <= 0:
@@ -171,3 +247,60 @@ class SeqReader(BaseReader):
             his_times[r, :L] = h[:, 1]
             lengths[r] = L
         return his_items, his_times, lengths
+
+
+class ContextSeqReader(ContextReader):
+    """Context + sequential: SeqReader-style history where each entry also
+    stores its situation-context vector.
+
+    Parity: src/helpers/ContextSeqReader.py:18-43.
+    """
+
+    def __init__(self, args):
+        super().__init__(args)
+        self._append_his_info()
+
+    def _append_his_info(self):
+        logging.info("Appending history info with situation context...")
+        situ = list(self.situation_feature_names)
+        frames = []
+        for key in ["train", "dev", "test"]:
+            cols = ["user_id", "item_id", "time"] + [c for c in situ if c in self.data_df[key].columns]
+            frames.append(self.data_df[key][cols])
+        all_df = pd.concat(frames)
+        sort_df = all_df.sort_values(by=["time", "user_id"], kind="mergesort")
+        position = list()
+        self.user_his = dict()
+        self.user_his_situ = dict()
+        situ_vals = sort_df[situ].to_numpy() if situ else np.zeros((len(sort_df), 0))
+        for k, (uid, iid, t) in enumerate(zip(sort_df["user_id"], sort_df["item_id"], sort_df["time"])):
+            if uid not in self.user_his:
+                self.user_his[uid] = list()
+                self.user_his_situ[uid] = list()
+            position.append(len(self.user_his[uid]))
+            self.user_his[uid].append((iid, t))
+            self.user_his_situ[uid].append(situ_vals[k])
+        sort_df = sort_df.copy()
+        sort_df["position"] = position
+        merge_cols = ["user_id", "item_id", "time"]
+        for key in ["train", "dev", "test"]:
+            self.data_df[key] = pd.merge(
+                left=self.data_df[key], right=sort_df[merge_cols + ["position"]],
+                how="left", on=merge_cols,
+            )
+
+    def history_situ_arrays(self, df: pd.DataFrame, history_max: int) -> np.ndarray:
+        """[n_rows, history_max, n_situ_features] per-step situation context."""
+        n = len(df)
+        F = len(self.situation_feature_names)
+        out = np.zeros((n, history_max, F), dtype=np.int64)
+        users = df["user_id"].to_numpy()
+        positions = df["position"].to_numpy()
+        situ_np = {u: np.asarray(v) for u, v in self.user_his_situ.items()}
+        for r in range(n):
+            u, p = users[r], int(positions[r])
+            if p <= 0:
+                continue
+            h = situ_np[u][max(0, p - history_max) : p]
+            out[r, : len(h)] = h
+        return out

@@ -61,3 +61,51 @@ def make_topk_dataset(
     add_negs(dev).to_csv(os.path.join(path, "dev.csv"), sep="\t", index=False)
     add_negs(test).to_csv(os.path.join(path, "test.csv"), sep="\t", index=False)
     return {"n_users": n_users, "n_items": n_items}
+
+
+def make_ctr_dataset(
+    path: str,
+    n_users: int = 150,
+    n_items: int = 80,
+    n_per_user: int = 14,
+    n_groups: int = 4,
+    seed: int = 1,
+):
+    """CTR rows with learnable labels: click iff user group ~ item category
+    (plus noise), item_meta with i_category_c, user_meta with u_group_c,
+    situation column c_hour_c."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for u in range(1, n_users + 1):
+        g = u % n_groups
+        t0 = rng.integers(1e8, 2e8)
+        items = rng.choice(np.arange(1, n_items + 1), size=n_per_user, replace=False)
+        for j, it in enumerate(items):
+            cat = int(it) % n_groups
+            p = 0.8 if cat == g else 0.15
+            label = int(rng.random() < p)
+            hour = int(rng.integers(0, 24))
+            rows.append((u, int(it), int(t0 + j * 86400), label, hour))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "time", "label", "c_hour_c"])
+    df = df.sort_values(by=["time", "user_id"], kind="mergesort").reset_index(drop=True)
+    # global-time split 80/10/10 (reference CTR datasets use timeline split)
+    n = len(df)
+    train = df.iloc[: int(n * 0.8)]
+    dev = df.iloc[int(n * 0.8) : int(n * 0.9)]
+    test = df.iloc[int(n * 0.9) :]
+    os.makedirs(path, exist_ok=True)
+    train.to_csv(os.path.join(path, "train.csv"), sep="\t", index=False)
+    dev.to_csv(os.path.join(path, "dev.csv"), sep="\t", index=False)
+    test.to_csv(os.path.join(path, "test.csv"), sep="\t", index=False)
+    item_meta = pd.DataFrame({
+        "item_id": np.arange(1, n_items + 1),
+        "i_category_c": [i % n_groups for i in range(1, n_items + 1)],
+        "i_quality_f": rng.uniform(0, 1, size=n_items).round(3),
+    })
+    item_meta.to_csv(os.path.join(path, "item_meta.csv"), sep="\t", index=False)
+    user_meta = pd.DataFrame({
+        "user_id": np.arange(1, n_users + 1),
+        "u_group_c": [u % n_groups for u in range(1, n_users + 1)],
+    })
+    user_meta.to_csv(os.path.join(path, "user_meta.csv"), sep="\t", index=False)
+    return {"n_users": n_users, "n_items": n_items}

@@ -21,6 +21,7 @@ import logging
 from typing import Any, ClassVar, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from rechorus_tpu.ops import losses
@@ -148,3 +149,182 @@ class CTRModel(BaseModel):
         elif self.loss_n == "MSE":
             return losses.mse(out_dict["prediction"], feed["label"])
         raise ValueError(f"Undefined loss function: {self.loss_n}")
+
+
+class _ContextFields:
+    """Schema fields + feed assembly shared by the context families
+    (filled by corpus_kwargs from data/context.build_schema).
+
+    TPU design: user/item feature matrices live in the 'constants'
+    variable collection (placed on device once); the model gathers
+    per-candidate features by id inside the jitted step. This keeps feeds
+    small AND makes the runner's anti-leak candidate permutation safe --
+    features follow item_id automatically (the reference instead carries
+    every feature column in the feed dict, BaseContextModel.py:15-28).
+    """
+
+    @classmethod
+    def schema_kwargs(cls, corpus):
+        from rechorus_tpu.data.context import build_schema, feature_matrices
+        from rechorus_tpu.data.context import is_categorical
+
+        schema = build_schema(corpus)
+        mats = feature_matrices(corpus)
+        consts = {}
+        if "user" in mats:
+            cat_cols = [i for i, n in enumerate(schema.user_names) if is_categorical(n)]
+            flt_cols = [i for i, n in enumerate(schema.user_names) if not is_categorical(n)]
+            consts["user_cat"] = mats["user"][:, cat_cols].astype("int32")
+            consts["user_float"] = mats["user"][:, flt_cols].astype("float32")
+        if "item" in mats:
+            cat_cols = [i for i, n in enumerate(schema.item_names) if is_categorical(n)]
+            flt_cols = [i for i, n in enumerate(schema.item_names) if not is_categorical(n)]
+            consts["item_cat"] = mats["item"][:, cat_cols].astype("int32")
+            consts["item_float"] = mats["item"][:, flt_cols].astype("float32")
+        cat_offsets = tuple(schema.offsets[i] for i in schema.cat_positions)
+        return {
+            "feature_names": schema.names,
+            "feature_kinds": schema.kinds,
+            "feature_offsets": cat_offsets,
+            "total_vocab": schema.total_vocab,
+            "n_situ_cat": len([n for n in schema.situ_names if is_categorical(n)]),
+            "n_situ_float": len([n for n in schema.situ_names if not is_categorical(n)]),
+            "constants_factory": (lambda consts=consts: consts),
+        }
+
+    def _consts(self):
+        factory = self.constants_factory
+        arrays = factory() if factory is not None else {}
+        return {
+            k: self.variable("constants", k, lambda v=v: jnp.asarray(v)).value
+            for k, v in arrays.items()
+        }
+
+    def context_inputs(self, feed):
+        """Assemble (cat_ids [B,C,F_cat] offset-applied, float_vals
+        [B,C,F_float]) in canonical order: user + item + situation + ids."""
+        consts = self._consts()
+        users, items = feed["user_id"], feed["item_id"]
+        if items.ndim == 1:
+            items = items[:, None]
+        B, C = items.shape
+        cat_parts, float_parts = [], []
+        if "user_cat" in consts and consts["user_cat"].shape[1] > 0:
+            cat_parts.append(jnp.broadcast_to(consts["user_cat"][users][:, None, :], (B, C, consts["user_cat"].shape[1])))
+        if "user_float" in consts and consts["user_float"].shape[1] > 0:
+            float_parts.append(jnp.broadcast_to(consts["user_float"][users][:, None, :], (B, C, consts["user_float"].shape[1])))
+        if "item_cat" in consts and consts["item_cat"].shape[1] > 0:
+            cat_parts.append(consts["item_cat"][items])
+        if "item_float" in consts and consts["item_float"].shape[1] > 0:
+            float_parts.append(consts["item_float"][items])
+        if self.n_situ_cat > 0:
+            cat_parts.append(jnp.broadcast_to(feed["situ_cat"][:, None, :].astype(jnp.int32), (B, C, self.n_situ_cat)))
+        if self.n_situ_float > 0:
+            float_parts.append(jnp.broadcast_to(feed["situ_float"][:, None, :], (B, C, self.n_situ_float)))
+        cat_parts.append(jnp.broadcast_to(users[:, None, None].astype(jnp.int32), (B, C, 1)))
+        cat_parts.append(items[:, :, None].astype(jnp.int32))
+        cat_ids = jnp.concatenate(cat_parts, axis=-1)
+        cat_ids = cat_ids + jnp.asarray(self.feature_offsets, dtype=jnp.int32)[None, None, :]
+        if float_parts:
+            float_vals = jnp.concatenate(float_parts, axis=-1).astype(jnp.float32)
+        else:
+            float_vals = jnp.zeros((B, C, 0), jnp.float32)
+        return cat_ids, float_vals
+
+
+class ContextModel(GeneralModel, _ContextFields):
+    """Context-aware top-k model base (reference BaseContextModel.py:30-71):
+    BPR loss (inherited) or multi-negative BCE."""
+
+    reader: ClassVar[str] = "ContextReader"
+    runner: ClassVar[str] = "BaseRunner"
+    batcher: ClassVar[str] = "context"
+
+    loss_n: str = "BPR"
+    feature_names: tuple = ()
+    feature_kinds: tuple = ()
+    feature_offsets: tuple = ()
+    total_vocab: int = 0
+    n_situ_cat: int = 0
+    n_situ_float: int = 0
+    constants_factory: Any = None
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--loss_n", type=str, default="BPR", help="Type of loss functions.")
+        return GeneralModel.parse_model_args(parser)
+
+    @classmethod
+    def corpus_kwargs(cls, args, corpus):
+        kw = super().corpus_kwargs(args, corpus)
+        kw.update(cls.schema_kwargs(corpus))
+        return kw
+
+    def loss(self, out_dict, feed):
+        if self.loss_n == "BPR":
+            return losses.bpr_multi_neg(out_dict["prediction"])
+        elif self.loss_n == "BCE":
+            # multi-negative BCE (reference BaseContextModel.py:52-56)
+            predictions = jax.nn.sigmoid(out_dict["prediction"])
+            pos_pred, neg_pred = predictions[:, 0], predictions[:, 1:]
+            return -(
+                jnp.log(jnp.maximum(pos_pred, 1e-12))
+                + jnp.log(jnp.maximum(1 - neg_pred, 1e-12)).sum(axis=1)
+            ).mean()
+        raise ValueError(f"Undefined loss function: {self.loss_n}")
+
+
+class ContextCTRModel(CTRModel, _ContextFields):
+    """Context-aware CTR base (reference BaseContextModel.py:74-87)."""
+
+    reader: ClassVar[str] = "ContextReader"
+    runner: ClassVar[str] = "CTRRunner"
+    batcher: ClassVar[str] = "context_ctr"
+
+    feature_names: tuple = ()
+    feature_kinds: tuple = ()
+    feature_offsets: tuple = ()
+    total_vocab: int = 0
+    n_situ_cat: int = 0
+    n_situ_float: int = 0
+    constants_factory: Any = None
+
+    @classmethod
+    def corpus_kwargs(cls, args, corpus):
+        kw = super().corpus_kwargs(args, corpus)
+        kw.update(cls.schema_kwargs(corpus))
+        return kw
+
+
+class ContextSeqModel(ContextModel):
+    """Context + history (reference BaseContextModel.py:89-124)."""
+
+    reader: ClassVar[str] = "ContextSeqReader"
+    batcher: ClassVar[str] = "context_seq"
+
+    history_max: int = 20
+    add_historical_situations: int = 0
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--history_max", type=int, default=20, help="Maximum length of history.")
+        parser.add_argument("--add_historical_situations", type=int, default=0,
+                            help="Whether to add historical situation context as sequence.")
+        return ContextModel.parse_model_args(parser)
+
+
+class ContextSeqCTRModel(ContextCTRModel):
+    """Context + history, CTR (reference BaseContextModel.py:129-166)."""
+
+    reader: ClassVar[str] = "ContextSeqReader"
+    batcher: ClassVar[str] = "context_seq_ctr"
+
+    history_max: int = 20
+    add_historical_situations: int = 0
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--history_max", type=int, default=20, help="Maximum length of history.")
+        parser.add_argument("--add_historical_situations", type=int, default=0,
+                            help="Whether to add historical situation context as sequence.")
+        return ContextCTRModel.parse_model_args(parser)

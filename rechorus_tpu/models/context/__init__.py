@@ -1,1 +1,1 @@
-
+from rechorus_tpu.models.context import fm  # noqa: F401

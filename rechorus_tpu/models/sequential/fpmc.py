@@ -1,0 +1,45 @@
+"""FPMC -- factorized personalized Markov chains.
+
+Reference behavior: src/models/sequential/FPMC.py (Rendle et al., WWW'10):
+MF term dot(UI[u], IU[i]) + first-order transition term dot(LI[last], IL[i]).
+The reference feeds last_item_id from the Dataset; here the model derives
+it from the fixed-shape history arrays (last valid position).
+"""
+from __future__ import annotations
+
+from typing import ClassVar
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rechorus_tpu.models.base import SequentialModel
+from rechorus_tpu.ops.layers import embed
+from rechorus_tpu.registry import register_model
+
+
+@register_model("FPMC")
+class FPMC(SequentialModel):
+    extra_log_args: ClassVar[list] = ["emb_size"]
+
+    emb_size: int = 64
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--emb_size", type=int, default=64, help="Size of embedding vectors.")
+        return SequentialModel.parse_model_args(parser)
+
+    @nn.compact
+    def __call__(self, feed, training: bool = False):
+        u_id = feed["user_id"]
+        i_ids = feed["item_id"]
+        history = feed["history_items"]
+        lengths = feed["lengths"]
+        li_id = jnp.take_along_axis(history, jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
+
+        ui = embed(self.user_num, self.emb_size, "ui_embeddings")(u_id)
+        iu = embed(self.item_num, self.emb_size, "iu_embeddings")(i_ids)
+        li = embed(self.item_num, self.emb_size, "li_embeddings")(li_id)
+        il = embed(self.item_num, self.emb_size, "il_embeddings")(i_ids)
+
+        prediction = (ui[:, None, :] * iu).sum(-1) + (li[:, None, :] * il).sum(-1)
+        return {"prediction": prediction}

@@ -101,6 +101,25 @@ def apply_activation(x, name: str):
     raise ValueError(f"Unknown activation: {name}")
 
 
+class MaskedGRU(nn.Module):
+    """GRU over left-aligned padded sequences.
+
+    Replaces the reference's sort + pack_padded_sequence dance
+    (GRU4Rec.py:50-60) with a fixed-shape masked scan: returns
+    (outputs [B, L, H], final_state [B, H]) where final_state is the
+    hidden at position lengths-1 and outputs beyond lengths carry the
+    last valid state (mask before use if that matters).
+    """
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, seq, lengths):
+        rnn = nn.RNN(nn.GRUCell(features=self.hidden_size), return_carry=True)
+        carry, outputs = rnn(seq, seq_lengths=lengths)
+        return outputs, carry
+
+
 class MultiHeadAttention(nn.Module):
     """Scaled dot-product MHA with optional shared K/Q projection and the
     reference's -inf mask + NaN-to-0 guard (src/utils/layers.py:9-63)."""

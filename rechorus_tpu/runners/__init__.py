@@ -1,1 +1,2 @@
 from rechorus_tpu.runners.base import BaseRunner
+from rechorus_tpu.runners.ctr import CTRRunner

@@ -169,6 +169,9 @@ class BaseRunner:
                 from rechorus_tpu.ops import sampling
 
                 feed["item_id"], inv = sampling.permute_candidates(perm_key, feed["item_id"])
+                # where the true target (original column 0) landed, for
+                # models that need it during training (e.g. ComiRec)
+                feed["_target_col"] = inv[:, 0]
 
             def loss_fn(params):
                 variables = {"params": params, **state.extra_vars}

@@ -189,16 +189,53 @@ class _ContextFields:
             "total_vocab": schema.total_vocab,
             "n_situ_cat": len([n for n in schema.situ_names if is_categorical(n)]),
             "n_situ_float": len([n for n in schema.situ_names if not is_categorical(n)]),
+            "source_names": (schema.user_names, schema.item_names, schema.situ_names),
             "constants_factory": (lambda consts=consts: consts),
         }
+
+    def feature_value(self, feed, name):
+        """Raw value of a named context feature, shaped [B, C]
+        (or [B, C, 1] float). Used by models that condition on specific
+        features (e.g. FinalMLP feature selection, DIN-style gates)."""
+        from rechorus_tpu.data.context import is_categorical
+
+        consts = self._consts()
+        users, items = feed["user_id"], feed["item_id"]
+        if items.ndim == 1:
+            items = items[:, None]
+        B, C = items.shape
+        if name == "user_id":
+            return jnp.broadcast_to(users[:, None], (B, C))
+        if name == "item_id":
+            return items
+        user_names, item_names, situ_names = self.source_names
+        cat = is_categorical(name)
+        if name in user_names:
+            group = [n for n in user_names if is_categorical(n) == cat]
+            col = group.index(name)
+            src = consts["user_cat" if cat else "user_float"][users][:, None, :]
+            return jnp.broadcast_to(src[..., col], (B, C))
+        if name in item_names:
+            group = [n for n in item_names if is_categorical(n) == cat]
+            col = group.index(name)
+            return consts["item_cat" if cat else "item_float"][items][..., col]
+        if name in situ_names:
+            group = [n for n in situ_names if is_categorical(n) == cat]
+            col = group.index(name)
+            src = feed["situ_cat" if cat else "situ_float"][:, None, :]
+            return jnp.broadcast_to(src[..., col], (B, C))
+        raise ValueError(f"Unknown context feature: {name}")
 
     def _consts(self):
         factory = self.constants_factory
         arrays = factory() if factory is not None else {}
-        return {
-            k: self.variable("constants", k, lambda v=v: jnp.asarray(v)).value
-            for k, v in arrays.items()
-        }
+        out = {}
+        for k, v in arrays.items():
+            if self.has_variable("constants", k):
+                out[k] = self.get_variable("constants", k)
+            else:
+                out[k] = self.variable("constants", k, lambda v=v: jnp.asarray(v)).value
+        return out
 
     def context_inputs(self, feed):
         """Assemble (cat_ids [B,C,F_cat] offset-applied, float_vals
@@ -247,6 +284,7 @@ class ContextModel(GeneralModel, _ContextFields):
     total_vocab: int = 0
     n_situ_cat: int = 0
     n_situ_float: int = 0
+    source_names: tuple = ((), (), ())
     constants_factory: Any = None
 
     @staticmethod
@@ -287,6 +325,7 @@ class ContextCTRModel(CTRModel, _ContextFields):
     total_vocab: int = 0
     n_situ_cat: int = 0
     n_situ_float: int = 0
+    source_names: tuple = ((), (), ())
     constants_factory: Any = None
 
     @classmethod

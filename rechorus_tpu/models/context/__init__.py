@@ -1,1 +1,12 @@
-from rechorus_tpu.models.context import fm  # noqa: F401
+from rechorus_tpu.models.context import (  # noqa: F401
+    afm,
+    autoint,
+    dcn,
+    dcnv2,
+    deepfm,
+    finalmlp,
+    fm,
+    sam,
+    widedeep,
+    xdeepfm,
+)

@@ -101,6 +101,20 @@ def apply_activation(x, name: str):
     raise ValueError(f"Unknown activation: {name}")
 
 
+class AttLayer(nn.Module):
+    """Attention signal over the second-to-last axis
+    (reference layers.py:65-90, RecBole-derived): softmax(sum(relu(Wx) * h))."""
+
+    att_dim: int
+
+    @nn.compact
+    def __call__(self, infeatures):
+        att_signal = nn.relu(dense(self.att_dim, use_bias=False, name="w")(infeatures))
+        h = self.param("h", nn.initializers.normal(1.0), (self.att_dim,))
+        att_signal = (att_signal * h).sum(-1)
+        return jax.nn.softmax(att_signal, axis=-1)
+
+
 class MaskedGRU(nn.Module):
     """GRU over left-aligned padded sequences.
 
@@ -128,16 +142,18 @@ class MultiHeadAttention(nn.Module):
     n_heads: int
     kq_same: bool = False
     use_bias: bool = True
+    attention_d: int = -1  # output dim; defaults to d_model (reference :17-20)
 
     @nn.compact
     def __call__(self, q, k, v, mask=None):
-        d_k = self.d_model // self.n_heads
-        k_proj = dense(self.d_model, self.use_bias, name="k")
+        att_d = self.attention_d if self.attention_d > 0 else self.d_model
+        d_k = att_d // self.n_heads
+        k_proj = dense(att_d, self.use_bias, name="k")
         # kq_same=True shares the K projection for queries (reference
         # layers.py kq_same option used by SASRec)
-        q_l = k_proj(q) if self.kq_same else dense(self.d_model, self.use_bias, name="q")(q)
+        q_l = k_proj(q) if self.kq_same else dense(att_d, self.use_bias, name="q")(q)
         k_l = k_proj(k)
-        v_l = dense(self.d_model, self.use_bias, name="v")(v)
+        v_l = dense(att_d, self.use_bias, name="v")(v)
 
         def heads(x):
             return x.reshape(x.shape[:-1] + (self.n_heads, d_k)).swapaxes(-2, -3)
@@ -149,7 +165,7 @@ class MultiHeadAttention(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         attn = jnp.nan_to_num(attn)  # rows fully masked -> 0 (reference NaN guard)
         out = jnp.einsum("...qk,...kd->...qd", attn, vh)
-        out = out.swapaxes(-2, -3).reshape(out.shape[:-3] + (q.shape[-2], self.d_model))
+        out = out.swapaxes(-2, -3).reshape(out.shape[:-3] + (q.shape[-2], att_d))
         return out
 
 

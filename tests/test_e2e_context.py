@@ -51,6 +51,38 @@ def test_fm_ctr_learns(data_root):
     assert after["LOG_LOSS"] < before["LOG_LOSS"]
 
 
+@pytest.mark.parametrize(
+    "name,extra",
+    [
+        ("WideDeepCTR", dict(layers="[32]")),
+        ("DeepFMCTR", dict(layers="[32]")),
+        ("AFMCTR", dict(attention_size=16, reg_weight=0.1)),
+        ("DCNCTR", dict(layers="[32]", cross_layer_num=2, reg_weight=0.1)),
+        ("DCNv2CTR", dict(layers="[32]", cross_layer_num=2, mixed=1, structure="parallel",
+                          low_rank=8, expert_num=2, reg_weight=0.1)),
+        ("DCNv2CTR", dict(layers="[32]", cross_layer_num=2, mixed=0, structure="stacked",
+                          low_rank=8, expert_num=2, reg_weight=0.1)),
+        # AutoInt converges slowly on tiny data (deep attention stack,
+        # N(0,0.01) init) -- verified trending 0.50->0.65 over 40 epochs
+        ("AutoIntCTR", dict(layers="[32]", attention_size=16, num_heads=2, num_layers=1, epoch=25)),
+        ("xDeepFMCTR", dict(layers="[32]", cin_layers="[4,4]", direct=0, reg_weight=0.01)),
+        ("xDeepFMCTR", dict(layers="[32]", cin_layers="[4,4]", direct=1, reg_weight=0.01)),
+        ("SAMCTR", dict(interaction_type="SAM2E", aggregation="concat", num_layers=1, use_residual=0)),
+        ("SAMCTR", dict(interaction_type="SAM3A", aggregation="mean_pooling", num_layers=1, use_residual=1, epoch=30)),
+        ("FinalMLPCTR", dict(mlp1_hidden_units="[32]", mlp1_hidden_activations="ReLU", mlp1_dropout=0.0,
+                             mlp1_batch_norm=0, mlp2_hidden_units="[32]", mlp2_hidden_activations="ReLU",
+                             mlp2_dropout=0.0, mlp2_batch_norm=0, use_fs=1, fs_hidden_units="[16]",
+                             fs1_context="", fs2_context="c_hour_c,i_category_c", num_heads=2)),
+    ],
+)
+def test_context_ctr_models_learn(data_root, name, extra):
+    overrides = dict(epoch=10, lr=1e-2)
+    overrides.update(extra)
+    before, after = run_ctr(data_root, name, make_args(**overrides))
+    assert np.isfinite(after["AUC"]) and np.isfinite(after["LOG_LOSS"]), name
+    assert after["AUC"] > 0.65, f"{name}: {after}"
+
+
 def test_fm_topk_runs(data_root):
     # top-k mode on the same data (labels ignored; positives only in BPR)
     args = make_args(loss_n="BPR", metric="NDCG,HR", epoch=2)

@@ -170,6 +170,42 @@ def _add_situation(batcher, df):
         batcher.arrays["situ_float"] = df[flt_cols].to_numpy().astype(np.float32)
 
 
+def _maybe_neg_history(batcher, feed, key):
+    """Sampled negative history for DIEN's auxiliary loss: uniform ids
+    avoiding the positive at the same position (reference DIEN.py:195-205,
+    sampled per epoch on host; here per step on device)."""
+    if getattr(batcher.model, "alpha_aux", 0) <= 0 or "history_items" not in feed:
+        return feed
+    hist = feed["history_items"]
+    n_items = batcher.corpus.n_items
+
+    def body(i, carry):
+        neg, key = carry
+        key, sub = jax.random.split(key)
+        fresh = jax.random.randint(sub, hist.shape, 1, n_items, dtype=jnp.int32)
+        neg = jnp.where(neg == hist, fresh, neg)
+        return neg, key
+
+    key, sub = jax.random.split(key)
+    neg = jax.random.randint(sub, hist.shape, 1, n_items, dtype=jnp.int32)
+    neg, _ = jax.lax.fori_loop(0, 4, body, (neg, key))
+    feed["history_neg_items"] = neg
+    return feed
+
+
+def _history_situ(batcher, df):
+    """[n, H, F_s] historical situation values, categorical columns first
+    (the order group_embeddings expects)."""
+    from rechorus_tpu.data.context import is_categorical
+
+    situ = list(batcher.corpus.situation_feature_names)
+    raw = batcher.corpus.history_situ_arrays(df, batcher.model.history_max)
+    order = [i for i, c in enumerate(situ) if is_categorical(c)] + [
+        i for i, c in enumerate(situ) if not is_categorical(c)
+    ]
+    return raw[:, :, order].astype(np.float32 if any(not is_categorical(c) for c in situ) else np.int32)
+
+
 def _situ_feed(batcher, feed, arrays, idx):
     if "situ_cat" in arrays:
         feed["situ_cat"] = arrays["situ_cat"][idx]
@@ -265,14 +301,14 @@ class ContextSeqBatcher(SequentialBatcher):
         super().build()
         _add_situation(self, self._df)
         if getattr(self.model, "add_historical_situations", 0):
-            self.arrays["history_situ"] = self.corpus.history_situ_arrays(
-                self._df, self.model.history_max
-            ).astype(np.int32)
+            self.arrays["history_situ"] = _history_situ(self, self._df)
 
     def train_feed(self, arrays, idx, key):
+        key, aux_key = jax.random.split(key)
         feed = _situ_feed(self, super().train_feed(arrays, idx, key), arrays, idx)
         if "history_situ" in arrays:
             feed["history_situ"] = arrays["history_situ"][idx]
+        _maybe_neg_history(self, feed, aux_key)
         return feed
 
     def eval_feed(self, arrays, idx):
@@ -303,7 +339,7 @@ class ContextSeqCTRBatcher(CTRBatcher):
         self.arrays["lengths"] = lengths
         _add_situation(self, df)
         if getattr(self.model, "add_historical_situations", 0):
-            self.arrays["history_situ"] = self.corpus.history_situ_arrays(df, H).astype(np.int32)
+            self.arrays["history_situ"] = _history_situ(self, df)
 
     def _feed(self, arrays, idx):
         feed = super()._feed(arrays, idx)
@@ -311,3 +347,6 @@ class ContextSeqCTRBatcher(CTRBatcher):
             if k in arrays:
                 feed[k] = arrays[k][idx]
         return _situ_feed(self, feed, arrays, idx)
+
+    def train_feed(self, arrays, idx, key):
+        return _maybe_neg_history(self, self._feed(arrays, idx), key)

@@ -97,6 +97,36 @@ class BaseReader:
 
     # ---------------- TPU-first fixed-shape corpus arrays ----------------
 
+    def _history_views(self):
+        if not hasattr(self, "_his_np"):
+            self._his_np = {u: np.asarray(h, dtype=np.int64) for u, h in self.user_his.items()}
+        return self._his_np
+
+    def history_arrays(self, df: pd.DataFrame, history_max: int):
+        """Fixed-shape [n_rows, history_max] history items/times + lengths.
+
+        Vectorized equivalent of the reference's per-row feed-dict slicing
+        (BaseModel.py:236-245): history = user_his[u][:position][-history_max:],
+        left-aligned, zero-padded.
+        """
+        n = len(df)
+        his_items = np.zeros((n, history_max), dtype=np.int32)
+        his_times = np.zeros((n, history_max), dtype=np.int64)
+        lengths = np.zeros((n,), dtype=np.int32)
+        users = df["user_id"].to_numpy()
+        positions = df["position"].to_numpy()
+        his_np = self._history_views()
+        for r in range(n):
+            u, p = users[r], int(positions[r])
+            if p <= 0:
+                continue
+            h = his_np[u][max(0, p - history_max) : p]
+            L = len(h)
+            his_items[r, :L] = h[:, 0]
+            his_times[r, :L] = h[:, 1]
+            lengths[r] = L
+        return his_items, his_times, lengths
+
     def clicked_matrix(self, include_residual: bool = False) -> np.ndarray:
         """Padded per-user clicked-item matrix [n_users, max_clicked] int32.
 
@@ -217,36 +247,6 @@ class SeqReader(BaseReader):
             self.data_df[key] = pd.merge(
                 left=self.data_df[key], right=sort_df, how="left", on=["user_id", "item_id", "time"]
             )
-
-    def _history_views(self):
-        if not hasattr(self, "_his_np"):
-            self._his_np = {u: np.asarray(h, dtype=np.int64) for u, h in self.user_his.items()}
-        return self._his_np
-
-    def history_arrays(self, df: pd.DataFrame, history_max: int):
-        """Fixed-shape [n_rows, history_max] history items/times + lengths.
-
-        Vectorized equivalent of the reference's per-row feed-dict slicing
-        (BaseModel.py:236-245): history = user_his[u][:position][-history_max:],
-        left-aligned, zero-padded.
-        """
-        n = len(df)
-        his_items = np.zeros((n, history_max), dtype=np.int32)
-        his_times = np.zeros((n, history_max), dtype=np.int64)
-        lengths = np.zeros((n,), dtype=np.int32)
-        users = df["user_id"].to_numpy()
-        positions = df["position"].to_numpy()
-        his_np = self._history_views()
-        for r in range(n):
-            u, p = users[r], int(positions[r])
-            if p <= 0:
-                continue
-            h = his_np[u][max(0, p - history_max) : p]
-            L = len(h)
-            his_items[r, :L] = h[:, 0]
-            his_times[r, :L] = h[:, 1]
-            lengths[r] = L
-        return his_items, his_times, lengths
 
 
 class ContextSeqReader(ContextReader):

@@ -70,16 +70,29 @@ def make_ctr_dataset(
     n_per_user: int = 14,
     n_groups: int = 4,
     seed: int = 1,
+    expose_bias: float = 0.0,
 ):
     """CTR rows with learnable labels: click iff user group ~ item category
     (plus noise), item_meta with i_category_c, user_meta with u_group_c,
-    situation column c_hour_c."""
+    situation column c_hour_c. expose_bias > 0 skews each user's exposures
+    toward their own group so HISTORY becomes informative (for testing
+    sequential models that predict from history alone)."""
     rng = np.random.default_rng(seed)
+    all_items = np.arange(1, n_items + 1)
     rows = []
     for u in range(1, n_users + 1):
         g = u % n_groups
         t0 = rng.integers(1e8, 2e8)
-        items = rng.choice(np.arange(1, n_items + 1), size=n_per_user, replace=False)
+        if expose_bias > 0:
+            group_items = all_items[all_items % n_groups == g]
+            n_own = min(int(n_per_user * expose_bias), len(group_items))
+            items = np.concatenate([
+                rng.choice(group_items, size=n_own, replace=False),
+                rng.choice(all_items, size=n_per_user - n_own, replace=False),
+            ])
+            rng.shuffle(items)
+        else:
+            items = rng.choice(all_items, size=n_per_user, replace=False)
         for j, it in enumerate(items):
             cat = int(it) % n_groups
             p = 0.8 if cat == g else 0.15

@@ -193,6 +193,111 @@ class _ContextFields:
             "constants_factory": (lambda consts=consts: consts),
         }
 
+    def group_embeddings(self, feed, vec_size: int, include_history: bool = True,
+                         extra_item_ids: dict | None = None):
+        """Per-group feature embeddings via one shared fused table.
+
+        Returns a dict of stacked embeddings (reference DIN.get_all_embedding,
+        src/models/context_seq/DIN.py:97-137):
+          'item'      [B, C, Fi, d]  -- item_id + i_* of each candidate
+          'user'      [B, Fu, d]     -- user_id + u_*
+          'situ'      [B, Fs, d]     -- c_* (empty-dim if none)
+          'history'   [B, H, Fi, d]  -- history item ids + their i_*
+          'history_situ' [B, H, Fs, d] when the feed carries it
+        Group-internal order: id, categorical (sorted), float (sorted).
+        """
+        from rechorus_tpu.data.context import is_categorical
+        from rechorus_tpu.ops.layers import dense, embed
+
+        consts = self._consts()
+        table = embed(self.total_vocab, vec_size, "fused_table")
+        names, kinds = self.feature_names, self.feature_kinds
+        cat_names = [n for n, k in zip(names, kinds) if k == "cat"]
+        off = dict(zip(cat_names, self.feature_offsets))
+        user_names, item_names, situ_names = self.source_names
+        flt_dense = {
+            n: dense(vec_size, use_bias=False, name=f"float_{n}")
+            for n in names if not is_categorical(n)
+        }
+
+        users, items = feed["user_id"], feed["item_id"]
+        if items.ndim == 1:
+            items = items[:, None]
+        B, C = items.shape
+
+        def build(id_vals, id_offset, feat_names, cat_src, float_src):
+            """id_vals [...]; cat_src [..., n_cat]; float_src [..., n_flt]."""
+            cats = [id_vals[..., None] + id_offset]
+            cat_feat = [n for n in feat_names if is_categorical(n)]
+            if cat_feat:
+                offs = jnp.asarray([off[n] for n in cat_feat], dtype=jnp.int32)
+                cats.append(cat_src + offs)
+            stacked = table(jnp.concatenate(cats, axis=-1).astype(jnp.int32))
+            flts = [n for n in feat_names if not is_categorical(n)]
+            if flts:
+                fparts = [flt_dense[n](float_src[..., j : j + 1])[..., None, :] for j, n in enumerate(flts)]
+                stacked = jnp.concatenate([stacked] + fparts, axis=-2)
+            return stacked
+
+        out = {}
+        item_cat = consts.get("item_cat")
+        item_flt = consts.get("item_float")
+        zeros_c = jnp.zeros(items.shape + (0,), jnp.int32)
+        zeros_f = jnp.zeros(items.shape + (0,), jnp.float32)
+        out["item"] = build(
+            items, off["item_id"], item_names,
+            item_cat[items] if item_cat is not None else zeros_c,
+            item_flt[items] if item_flt is not None else zeros_f,
+        )
+        user_cat = consts.get("user_cat")
+        user_flt = consts.get("user_float")
+        out["user"] = build(
+            users, off["user_id"], user_names,
+            user_cat[users] if user_cat is not None else jnp.zeros((B, 0), jnp.int32),
+            user_flt[users] if user_flt is not None else jnp.zeros((B, 0), jnp.float32),
+        )
+        if situ_names:
+            situ_parts = []
+            cat_feat = [n for n in situ_names if is_categorical(n)]
+            if cat_feat:
+                offs = jnp.asarray([off[n] for n in cat_feat], dtype=jnp.int32)
+                situ_parts.append(table(feed["situ_cat"].astype(jnp.int32) + offs))
+            flts = [n for n in situ_names if not is_categorical(n)]
+            for j, n in enumerate(flts):
+                situ_parts.append(flt_dense[n](feed["situ_float"][..., j : j + 1])[..., None, :])
+            out["situ"] = jnp.concatenate(situ_parts, axis=-2)  # [B, Fs, d]
+        if include_history and "history_items" in feed:
+            hist = feed["history_items"]
+            out["history"] = build(
+                hist, off["item_id"], item_names,
+                item_cat[hist] if item_cat is not None else jnp.zeros(hist.shape + (0,), jnp.int32),
+                item_flt[hist] if item_flt is not None else jnp.zeros(hist.shape + (0,), jnp.float32),
+            )
+        for key, ids in (extra_item_ids or {}).items():
+            # embed arbitrary extra item-id arrays (e.g. DIEN's sampled
+            # negative history) with the SAME table/feature machinery
+            out[key] = build(
+                ids, off["item_id"], item_names,
+                item_cat[ids] if item_cat is not None else jnp.zeros(ids.shape + (0,), jnp.int32),
+                item_flt[ids] if item_flt is not None else jnp.zeros(ids.shape + (0,), jnp.float32),
+            )
+        if include_history and "history_items" in feed:
+            if "history_situ" in feed and situ_names:
+                cat_feat = [n for n in situ_names if is_categorical(n)]
+                parts = []
+                if cat_feat:
+                    offs = jnp.asarray([off[n] for n in cat_feat], dtype=jnp.int32)
+                    # history_situ carries cat columns first (batcher order)
+                    parts.append(table(feed["history_situ"][..., : len(cat_feat)].astype(jnp.int32) + offs))
+                flts = [n for n in situ_names if not is_categorical(n)]
+                for j, n in enumerate(flts):
+                    parts.append(
+                        flt_dense[n](feed["history_situ"][..., len(cat_feat) + j : len(cat_feat) + j + 1]
+                                     .astype(jnp.float32))[..., None, :]
+                    )
+                out["history_situ"] = jnp.concatenate(parts, axis=-2)
+        return out
+
     def feature_value(self, feed, name):
         """Raw value of a named context feature, shaped [B, C]
         (or [B, C, 1] float). Used by models that condition on specific

@@ -1,0 +1,279 @@
+"""ETA -- end-to-end target attention with SimHash long-history retrieval.
+
+Reference behavior: src/models/context_seq/ETA.py (Chen et al., 2021;
+FuxiCTR-derived): history split into recent (short) and older (long)
+parts; the long part is compressed by retrieving the retrieval_k most
+similar items under a SimHash/LSH Hamming similarity, then both parts go
+through MultiHeadTargetAttention and a DNN.
+
+TPU deviations (documented):
+  * short/long masks use recency on LEFT-aligned sequences (the
+    reference's reversed-arange mask assumes right alignment while its
+    collate pads right -- latent inconsistency, ETA.py:200-203).
+  * retrieval/attention vectorized over the candidate axis (reference
+    repeats the history per candidate).
+"""
+from __future__ import annotations
+
+import ast
+from typing import ClassVar, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rechorus_tpu.models.base import ContextSeqCTRModel, ContextSeqModel
+from rechorus_tpu.models.context._modes import ctr_out
+from rechorus_tpu.ops.layers import MLPBlock, MultiHeadTargetAttention
+from rechorus_tpu.registry import register_model
+
+
+def _parse_fields(s):
+    v = ast.literal_eval(s)
+    if not isinstance(v, list):
+        v = [v]
+    return tuple(tuple(f) if isinstance(f, (list, tuple)) else f for f in v)
+
+
+class ETABase:
+    @staticmethod
+    def parse_model_args_eta(parser):
+        parser.add_argument("--emb_size", type=int, default=64, help="Size of embedding vectors.")
+        parser.add_argument("--dnn_hidden_units", type=str, default="[128,64]", help="Size of each hidden layer.")
+        parser.add_argument("--dnn_activations", type=str, default="ReLU", help="DNN activation.")
+        parser.add_argument("--net_dropout", type=float, default=0, help="Dropout rate for DNN.")
+        parser.add_argument("--batch_norm", type=int, default=0, help="Whether to use batch_norm.")
+        parser.add_argument("--attention_dim", type=int, default=64, help="Size of attention hidden space.")
+        parser.add_argument("--num_heads", type=int, default=1, help="Number of attention heads.")
+        parser.add_argument("--use_scale", type=int, default=1, help="Scale attention weights.")
+        parser.add_argument("--attention_dropout", type=float, default=0, help="Dropout rate for attention.")
+        parser.add_argument("--use_qkvo", type=int, default=1, help="Separate qkvo projections.")
+        parser.add_argument("--retrieval_k", type=int, default=5, help="Top-k retrieved from long history.")
+        parser.add_argument("--reuse_hash", type=int, default=1, help="Reuse fixed hash rotations.")
+        parser.add_argument("--num_hashes", type=int, default=1, help="Number of separate hashes.")
+        parser.add_argument("--hash_bits", type=int, default=4, help="Bits per hash.")
+        parser.add_argument("--short_target_field", type=str, default='["item_id"]')
+        parser.add_argument("--short_sequence_field", type=str, default='["history_item_id"]')
+        parser.add_argument("--long_target_field", type=str, default='["item_id"]')
+        parser.add_argument("--long_sequence_field", type=str, default='["history_item_id"]')
+        parser.add_argument("--recent_k", type=int, default=5, help="Short/long history threshold.")
+        return parser
+
+    @classmethod
+    def _eta_kwargs(cls, args):
+        return {
+            "dnn_hidden_units": tuple(ast.literal_eval(args.dnn_hidden_units)),
+            "short_target_field": _parse_fields(args.short_target_field),
+            "short_sequence_field": _parse_fields(args.short_sequence_field),
+            "long_target_field": _parse_fields(args.long_target_field),
+            "long_sequence_field": _parse_fields(args.long_sequence_field),
+        }
+
+    # ---- named-field embedding lookup over the grouped tensors ----
+    def field_embedding(self, g, feed, name):
+        """Embedding of a named field: candidate-aligned [B, C, d] or
+        history-aligned [B, H, d]. Group layout: [id, cats..., floats...]."""
+        from rechorus_tpu.data.context import is_categorical
+
+        user_names, item_names, situ_names = self.source_names
+        B, C = g["item"].shape[:2]
+
+        def group_index(names_sorted, fname):
+            cats = [n for n in names_sorted if is_categorical(n)]
+            flts = [n for n in names_sorted if not is_categorical(n)]
+            return 1 + (cats.index(fname) if fname in cats else len(cats) + flts.index(fname))
+
+        if name.startswith("history_"):
+            base = name[len("history_"):]
+            if base == "item_id":
+                return g["history"][..., 0, :]
+            if base in item_names:
+                return g["history"][..., group_index(item_names, base), :]
+            if base in situ_names and "history_situ" in g:
+                cats = [n for n in situ_names if is_categorical(n)]
+                flts = [n for n in situ_names if not is_categorical(n)]
+                j = cats.index(base) if base in cats else len(cats) + flts.index(base)
+                return g["history_situ"][..., j, :]
+            raise ValueError(f"Unknown history field {name}")
+        if name == "item_id":
+            return g["item"][..., 0, :]
+        if name in item_names:
+            return g["item"][..., group_index(item_names, name), :]
+        if name == "user_id":
+            return jnp.broadcast_to(g["user"][:, None, 0, :], (B, C, g["user"].shape[-1]))
+        if name in user_names:
+            j = group_index(user_names, name)
+            return jnp.broadcast_to(g["user"][:, None, j, :], (B, C, g["user"].shape[-1]))
+        if name in situ_names:
+            cats = [n for n in situ_names if is_categorical(n)]
+            flts = [n for n in situ_names if not is_categorical(n)]
+            j = cats.index(name) if name in cats else len(cats) + flts.index(name)
+            return jnp.broadcast_to(g["situ"][:, None, j, :], (B, C, g["situ"].shape[-1]))
+        raise ValueError(f"Unknown field {name}")
+
+    def concat_field(self, g, feed, field):
+        names = field if isinstance(field, tuple) else (field,)
+        return jnp.concatenate([self.field_embedding(g, feed, n) for n in names], axis=-1)
+
+    def history_masks(self, feed):
+        """(mask_short, mask_long) [B, H] on left-aligned sequences:
+        recency r = len-1-p; short: r <= recent_k, long: r > recent_k."""
+        H = feed["history_items"].shape[1]
+        lengths = feed["lengths"]
+        p = jnp.arange(H)[None, :]
+        valid = p < lengths[:, None]
+        recency = lengths[:, None] - 1 - p
+        return valid & (recency <= self.recent_k), valid & (recency > self.recent_k)
+
+    def lsh_hash(self, vecs, rotations):
+        """[.., L, d] -> [.., L, num_hashes] bucket ids (ETA.py:277-287)."""
+        rotated = jnp.einsum("...ld,dht->...lht", vecs, rotations)
+        code = nn.relu(jnp.sign(rotated))
+        powers = 2.0 ** jnp.arange(self.hash_bits)
+        return (code * powers).sum(-1)
+
+    def topk_retrieval(self, rotations, target_emb, sequence_emb, mask):
+        """SimHash Hamming top-k per candidate (ETA.py:254-270).
+
+        target_emb [B, C, D]; sequence_emb [B, H, D]; mask [B, H].
+        Returns (topk_emb [B, C, k, D], topk_mask [B, C, k])."""
+        seq_hash = self.lsh_hash(sequence_emb, rotations)  # [B, H, nh]
+        tgt_hash = self.lsh_hash(target_emb, rotations)  # [B, C, nh]
+        sim = -jnp.abs(tgt_hash[:, :, None, :] - seq_hash[:, None, :, :]).sum(-1)  # [B, C, H]
+        sim = jnp.where(mask[:, None, :], sim, -float(self.hash_bits))
+        k = min(self.retrieval_k, sim.shape[-1])
+        _, idx = jax.lax.top_k(sim, k)  # [B, C, k]
+        topk_emb = jnp.take_along_axis(sequence_emb[:, None], idx[..., None], axis=2)
+        topk_mask = jnp.take_along_axis(
+            jnp.broadcast_to(mask[:, None, :], idx.shape[:2] + (mask.shape[1],)), idx, axis=2
+        )
+        return topk_emb, topk_mask
+
+    def _rotations(self, name, input_dim):
+        # fixed (non-trainable) rotations kept in 'constants'
+        if self.has_variable("constants", name):
+            return self.get_variable("constants", name)
+        key = jax.random.key(42)
+        return self.variable(
+            "constants", name,
+            lambda: jax.random.normal(key, (input_dim, self.num_hashes, self.hash_bits)),
+        ).value
+
+    def eta_prediction(self, feed, training: bool):
+        g = self.group_embeddings(feed, self.emb_size)
+        mask_short, mask_long = self.history_masks(feed)
+        B, C = g["item"].shape[:2]
+
+        feats = []
+        for i, (tf, sf) in enumerate(zip(self.short_target_field, self.short_sequence_field)):
+            t = self.concat_field(g, feed, tf)
+            s = self.concat_field(g, feed, sf)
+            att = MultiHeadTargetAttention(
+                input_dim=t.shape[-1], attention_dim=self.attention_dim, num_heads=self.num_heads,
+                dropout_rate=self.attention_dropout, use_scale=bool(self.use_scale),
+                use_qkvo=bool(self.use_qkvo), name=f"short_attention_{i}",
+            )
+            m = jnp.broadcast_to(mask_short[:, None, :], (B, C, s.shape[1]))
+            feats.append(att(t, s, m, training=training))
+        if self.history_max > self.recent_k:
+            for i, (tf, sf) in enumerate(zip(self.long_target_field, self.long_sequence_field)):
+                t = self.concat_field(g, feed, tf)
+                s = self.concat_field(g, feed, sf)
+                rot = self._rotations(f"random_rotations_{i}", t.shape[-1])
+                topk_emb, topk_mask = self.topk_retrieval(rot, t, s, mask_long)
+                att = MultiHeadTargetAttention(
+                    input_dim=t.shape[-1], attention_dim=self.attention_dim, num_heads=self.num_heads,
+                    dropout_rate=self.attention_dropout, use_scale=bool(self.use_scale),
+                    use_qkvo=bool(self.use_qkvo), name=f"long_attention_{i}",
+                )
+                # per-candidate retrieved list: fold k into the history axis
+                # by attending within each candidate row
+                Bk, Ck, K, D = topk_emb.shape
+                t2 = t.reshape(B * C, 1, D)
+                s2 = topk_emb.reshape(B * C, K, D)
+                m2 = topk_mask.reshape(B * C, 1, K)
+                feats.append(att(t2, s2, m2, training=training).reshape(B, C, D))
+        feature_emb = jnp.concatenate(feats, axis=-1)
+        return MLPBlock(
+            hidden_units=self.dnn_hidden_units, hidden_activations=self.dnn_activations,
+            dropout_rate=self.net_dropout, norm="batch_norm" if self.batch_norm else None,
+            output_dim=1, name="dnn",
+        )(feature_emb, training=training)[..., 0]
+
+
+@register_model("ETACTR")
+class ETACTR(ContextSeqCTRModel, ETABase):
+    extra_log_args: ClassVar[list] = ["emb_size", "add_historical_situations"]
+
+    emb_size: int = 64
+    dnn_hidden_units: Tuple[int, ...] = (128, 64)
+    dnn_activations: str = "ReLU"
+    net_dropout: float = 0.0
+    batch_norm: int = 0
+    attention_dim: int = 64
+    num_heads: int = 1
+    use_scale: int = 1
+    attention_dropout: float = 0.0
+    use_qkvo: int = 1
+    retrieval_k: int = 5
+    reuse_hash: int = 1
+    num_hashes: int = 1
+    hash_bits: int = 4
+    short_target_field: tuple = ("item_id",)
+    short_sequence_field: tuple = ("history_item_id",)
+    long_target_field: tuple = ("item_id",)
+    long_sequence_field: tuple = ("history_item_id",)
+    recent_k: int = 5
+
+    parse_model_args = staticmethod(
+        lambda parser: ContextSeqCTRModel.parse_model_args(ETABase.parse_model_args_eta(parser))
+    )
+
+    @classmethod
+    def corpus_kwargs(cls, args, corpus):
+        kw = super().corpus_kwargs(args, corpus)
+        kw.update(cls._eta_kwargs(args))
+        return kw
+
+    @nn.compact
+    def __call__(self, feed, training: bool = False):
+        return ctr_out(self.eta_prediction(feed, training), feed)
+
+
+@register_model("ETATopK")
+class ETATopK(ContextSeqModel, ETABase):
+    extra_log_args: ClassVar[list] = ["emb_size", "add_historical_situations"]
+
+    emb_size: int = 64
+    dnn_hidden_units: Tuple[int, ...] = (128, 64)
+    dnn_activations: str = "ReLU"
+    net_dropout: float = 0.0
+    batch_norm: int = 0
+    attention_dim: int = 64
+    num_heads: int = 1
+    use_scale: int = 1
+    attention_dropout: float = 0.0
+    use_qkvo: int = 1
+    retrieval_k: int = 5
+    reuse_hash: int = 1
+    num_hashes: int = 1
+    hash_bits: int = 4
+    short_target_field: tuple = ("item_id",)
+    short_sequence_field: tuple = ("history_item_id",)
+    long_target_field: tuple = ("item_id",)
+    long_sequence_field: tuple = ("history_item_id",)
+    recent_k: int = 5
+
+    parse_model_args = staticmethod(
+        lambda parser: ContextSeqModel.parse_model_args(ETABase.parse_model_args_eta(parser))
+    )
+
+    @classmethod
+    def corpus_kwargs(cls, args, corpus):
+        kw = super().corpus_kwargs(args, corpus)
+        kw.update(cls._eta_kwargs(args))
+        return kw
+
+    @nn.compact
+    def __call__(self, feed, training: bool = False):
+        return {"prediction": self.eta_prediction(feed, training)}

@@ -75,10 +75,11 @@ class Dice(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", nn.initializers.zeros, x.shape[-1:])
-        # data-dependent normalization over the batch axis, like the
-        # reference's BatchNorm1d(affine=False) in eval-agnostic form
-        mean = jnp.mean(x, axis=0, keepdims=True)
-        var = jnp.var(x, axis=0, keepdims=True)
+        # data-dependent normalization over all non-feature axes, like the
+        # reference's BatchNorm1d(affine=False) applied to flattened (B*C, h)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
         x_norm = (x - mean) * jax.lax.rsqrt(var + 1e-8)
         p = jax.nn.sigmoid(x_norm)
         return p * x + (1.0 - p) * alpha * x
@@ -134,6 +135,66 @@ class MaskedGRU(nn.Module):
         return outputs, carry
 
 
+class AttentionalGRU(nn.Module):
+    """AGRU / AUGRU / plain GRU scan with attention-modulated update gate.
+
+    Replaces the reference's custom DynamicGRU / AGRUCell / AUGRUCell over
+    packed sequences (src/models/context_seq/DIEN.py:287-369) with a
+    fixed-shape masked lax.scan. Torch GRU gate order (r, z, n) with
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn)).
+
+    inputs [B, T, D], att_scores [B, T], lengths [B] -> final hidden [B, H].
+    gru_type: 'AGRU'  -> h' = (1-a) h + a n
+              'AUGRU' -> z' = a * z; h' = (1-z') h + z' n
+              'AIGRU' -> standard GRU over a-scaled inputs
+    """
+
+    hidden_size: int
+    gru_type: str = "AUGRU"
+
+    @nn.compact
+    def __call__(self, inputs, att_scores, lengths):
+        B, T, D = inputs.shape
+        Hs = self.hidden_size
+        scale = 1.0 / (Hs ** 0.5)
+        u_init = nn.initializers.uniform(scale=2 * scale)  # ~ torch GRU default
+
+        wx = self.param("wx", u_init, (D, 3 * Hs)) - scale
+        wh = self.param("wh", u_init, (Hs, 3 * Hs)) - scale
+        bx = self.param("bx", u_init, (3 * Hs,)) - scale
+        bh = self.param("bh", u_init, (3 * Hs,)) - scale
+
+        if self.gru_type == "AIGRU":
+            inputs = inputs * att_scores[:, :, None]
+
+        def step(h, xs):
+            x_t, a_t, t = xs
+            gi = x_t @ wx + bx
+            gh = h @ wh + bh
+            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(i_r + h_r)
+            z = jax.nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            if self.gru_type == "AGRU":
+                a = a_t[:, None]
+                h_new = (1.0 - a) * h + a * n
+            elif self.gru_type == "AUGRU":
+                z = a_t[:, None] * z
+                h_new = (1.0 - z) * h + z * n
+            else:  # plain GRU (AIGRU path)
+                h_new = (1.0 - z) * h + z * n
+            valid = (t < lengths)[:, None]
+            return jnp.where(valid, h_new, h), None
+
+        h0 = jnp.zeros((B, Hs), inputs.dtype)
+        ts = jnp.arange(T)
+        h, _ = jax.lax.scan(
+            step, h0, (inputs.swapaxes(0, 1), att_scores.swapaxes(0, 1), ts)
+        )
+        return h
+
+
 class MultiHeadAttention(nn.Module):
     """Scaled dot-product MHA with optional shared K/Q projection and the
     reference's -inf mask + NaN-to-0 guard (src/utils/layers.py:9-63)."""
@@ -166,6 +227,51 @@ class MultiHeadAttention(nn.Module):
         attn = jnp.nan_to_num(attn)  # rows fully masked -> 0 (reference NaN guard)
         out = jnp.einsum("...qk,...kd->...qd", attn, vh)
         out = out.swapaxes(-2, -3).reshape(out.shape[:-3] + (q.shape[-2], att_d))
+        return out
+
+
+class MultiHeadTargetAttention(nn.Module):
+    """Target attention: one query per candidate over a shared history.
+
+    FuxiCTR-derived (reference layers.py:121-198). Vectorized over the
+    candidate axis: target [B, C, D], history [B, H, D], mask [B, C, H]
+    (True = attend) -> [B, C, D]. The reference flattens to (B*C) and
+    repeats the history per candidate.
+    """
+
+    input_dim: int = 64
+    attention_dim: int = 64
+    num_heads: int = 1
+    dropout_rate: float = 0.0
+    use_scale: bool = True
+    use_qkvo: bool = True
+
+    @nn.compact
+    def __call__(self, target, history, mask=None, training: bool = False):
+        att_dim = self.attention_dim if self.use_qkvo else self.input_dim
+        head_dim = att_dim // self.num_heads
+        if self.use_qkvo:
+            q = dense(att_dim, use_bias=False, name="W_q")(target)
+            k = dense(att_dim, use_bias=False, name="W_k")(history)
+            v = dense(att_dim, use_bias=False, name="W_v")(history)
+        else:
+            q, k, v = target, history, history
+        B, C = q.shape[:2]
+        H = k.shape[1]
+        qh = q.reshape(B, C, self.num_heads, head_dim)
+        kh = k.reshape(B, H, self.num_heads, head_dim)
+        vh = v.reshape(B, H, self.num_heads, head_dim)
+        scores = jnp.einsum("bcnd,bhnd->bnch", qh, kh)
+        if self.use_scale:
+            scores = scores / (head_dim ** 0.5)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, :, :], scores, -1.0e9)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if self.dropout_rate > 0:
+            attn = nn.Dropout(self.dropout_rate, deterministic=not training)(attn)
+        out = jnp.einsum("bnch,bhnd->bcnd", attn, vh).reshape(B, C, att_dim)
+        if self.use_qkvo:
+            out = dense(self.input_dim, use_bias=False, name="W_o")(out)
         return out
 
 

@@ -129,8 +129,10 @@ class BaseRunner:
         arrays = batcher.device_arrays()
         idx = jnp.arange(min(2, len(batcher)), dtype=jnp.int32)
         key = jax.random.key(seed)
+        # init through the TRAIN trace so train-only submodules (e.g.
+        # DIEN's aux net) get their parameters created
         feed = batcher.train_feed(arrays, idx, key) if batcher.phase == "train" else batcher.eval_feed(arrays, idx)
-        variables = model.init({"params": key, "dropout": key}, feed, training=False)
+        variables = model.init({"params": key, "dropout": key}, feed, training=batcher.phase == "train")
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
         tx = build_optimizer(self.optimizer_name, self.learning_rate, self.l2)

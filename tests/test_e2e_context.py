@@ -46,7 +46,7 @@ def run_ctr(data_root, name, args):
 
 
 def test_fm_ctr_learns(data_root):
-    before, after = run_ctr(data_root, "FMCTR", make_args())
+    before, after = run_ctr(data_root, "FMCTR", make_args(epoch=15, lr=1e-2))
     assert after["AUC"] > 0.8, (before, after)
     assert after["LOG_LOSS"] < before["LOG_LOSS"]
 

@@ -350,3 +350,96 @@ class ContextSeqCTRBatcher(CTRBatcher):
 
     def train_feed(self, arrays, idx, key):
         return _maybe_neg_history(self, self._feed(arrays, idx), key)
+
+
+@register_batcher("impression")
+class ImpressionBatcher(Batcher):
+    """Logged pos/neg lists padded to per-phase caps; item_id =
+    [pos_pad | neg_pad]; target = +1 valid pos / 0 valid neg / -1 pad.
+
+    Parity: reference ImpressionModel.Dataset (BaseImpressionModel.py:
+    154-211) + ImpressionRunner.fit label construction (187-190).
+    """
+
+    def _source_df(self):
+        return self.corpus.data_df[self.phase]
+
+    def build(self):
+        df = self._source_df()
+        self._df = df
+        self.n = len(df)
+        if self.phase == "train":
+            self.pos_len = self.model.train_max_pos_item
+            self.neg_len = self.model.train_max_neg_item
+        else:
+            self.pos_len = self.model.test_max_pos_item
+            self.neg_len = self.model.test_max_neg_item
+        n = self.n
+
+        def pad_lists(col, width):
+            out = np.zeros((n, width), dtype=np.int32)
+            for r, lst in enumerate(df[col]):
+                lst = list(lst)[:width]
+                out[r, : len(lst)] = lst
+            return out
+
+        self.arrays["user_id"] = df["user_id"].to_numpy().astype(np.int32)
+        self.arrays["pos_items"] = pad_lists("pos_items", self.pos_len)
+        self.arrays["neg_items"] = pad_lists("neg_items", self.neg_len)
+        self.arrays["pos_num"] = np.minimum(df["pos_num"].to_numpy(), self.pos_len).astype(np.int32)
+        self.arrays["neg_num"] = np.minimum(df["neg_num"].to_numpy(), self.neg_len).astype(np.int32)
+
+    def _feed(self, arrays, idx):
+        users = arrays["user_id"][idx]
+        pos = arrays["pos_items"][idx]
+        neg = arrays["neg_items"][idx]
+        pos_num = arrays["pos_num"][idx]
+        neg_num = arrays["neg_num"][idx]
+        item_ids = jnp.concatenate([pos, neg], axis=1)
+        pos_valid = jnp.arange(self.pos_len)[None, :] < pos_num[:, None]
+        neg_valid = jnp.arange(self.neg_len)[None, :] < neg_num[:, None]
+        target = jnp.concatenate(
+            [jnp.where(pos_valid, 1.0, -1.0), jnp.where(neg_valid, 0.0, -1.0)], axis=1
+        )
+        return {
+            "user_id": users, "item_id": item_ids, "target": target,
+            "pos_num": pos_num, "neg_num": neg_num, "batch_size": users.shape[0],
+        }
+
+    def train_feed(self, arrays, idx, key):
+        return self._feed(arrays, idx)
+
+    def eval_feed(self, arrays, idx):
+        return self._feed(arrays, idx)
+
+
+@register_batcher("impression_seq")
+class ImpressionSeqBatcher(ImpressionBatcher):
+    """+ dual pos/neg history arrays (reference BaseImpressionModel.py:
+    237-253). Requests with empty positive history are kept (lengths=0,
+    models must mask) except that parity filtering (position>0) applies
+    like SequentialModel."""
+
+    def _source_df(self):
+        df = self.corpus.data_df[self.phase]
+        keep = df["position"].to_numpy() > 0
+        return df[keep].reset_index(drop=True)
+
+    def build(self):
+        super().build()
+        df = self._df
+        H = self.model.history_max
+        his, his_t, lens, nhis, nhis_t, nlens = self.corpus.dual_history_arrays(df, H)
+        self.arrays["history_items"] = his
+        self.arrays["history_times"] = his_t
+        self.arrays["lengths"] = lens
+        self.arrays["neg_history_items"] = nhis
+        self.arrays["neg_history_times"] = nhis_t
+        self.arrays["neg_lengths"] = nlens
+
+    def _feed(self, arrays, idx):
+        feed = super()._feed(arrays, idx)
+        for k in ["history_items", "history_times", "lengths",
+                  "neg_history_items", "neg_history_times", "neg_lengths"]:
+            feed[k] = arrays[k][idx]
+        return feed

@@ -304,3 +304,159 @@ class ContextSeqReader(ContextReader):
             h = situ_np[u][max(0, p - history_max) : p]
             out[r, : len(h)] = h
         return out
+
+
+class ImpressionReader(BaseReader):
+    """Impression reader: consecutive rows of a user with equal
+    --impression_idkey form one request with pos_items/neg_items sets.
+
+    Parity: src/helpers/ImpressionReader.py -- requires a label column;
+    impressions without positives are dropped, then those without
+    negatives (neg_num > 0 filter); the merged sets attach to the last
+    row of each group. Deviation: item id 0 entries are filtered out
+    directly (the reference truncates each list at the first 0 via
+    set-iteration order -- fragile dead code for 1-based ids).
+    """
+
+    @staticmethod
+    def parse_data_args(parser):
+        parser.add_argument("--impression_idkey", type=str, default="time",
+                            help="The key for impression identification, [time, impression_id]")
+        return BaseReader.parse_data_args(parser)
+
+    def __init__(self, args):
+        self.impression_idkey = args.impression_idkey
+        super().__init__(args)
+        self._append_impression_info()
+
+    def _read_data(self):
+        logging.info('Reading data from "{}", dataset = "{}" '.format(self.prefix, self.dataset))
+        self.data_df = dict()
+        for key in ["train", "dev", "test"]:
+            path = os.path.join(self.prefix, self.dataset, key + ".csv")
+            self.data_df[key] = (
+                pd.read_csv(path, sep=self.sep).reset_index(drop=True)
+                .sort_values(by=["user_id", self.impression_idkey], kind="mergesort")
+            )
+            self.data_df[key] = eval_list_columns(self.data_df[key])
+        if "label" not in self.data_df["train"].columns:
+            raise KeyError("Impression data must have binary labels")
+        key_columns = ["user_id", "item_id", "time", "label"]
+        if self.impression_idkey != "time":
+            key_columns.insert(3, self.impression_idkey)
+        self.all_df = pd.concat([self.data_df[k][key_columns] for k in ["train", "dev", "test"]])
+        self.n_users = int(self.all_df["user_id"].max()) + 1
+        self.n_items = int(self.all_df["item_id"].max()) + 1
+        logging.info(
+            'Update impression data -- "# user": {}, "# item": {}, "# entry": {}'.format(
+                self.n_users - 1, self.n_items - 1, len(self.all_df)
+            )
+        )
+
+    def _append_impression_info(self):
+        logging.info("Merging positive items by timestamp/impression_idkey...")
+        for key in ["train", "dev", "test"]:
+            df = self.data_df[key]
+            group_change = (df["user_id"].ne(df["user_id"].shift(1))
+                            | df[self.impression_idkey].ne(df[self.impression_idkey].shift(1)))
+            group_id = group_change.cumsum()
+            pos_col, neg_col, keep = [], [], []
+            items = df["item_id"].to_numpy()
+            labels = df["label"].to_numpy()
+            gids = group_id.to_numpy()
+            n = len(df)
+            i = 0
+            while i < n:
+                j = i
+                pos, neg = [], []
+                while j < n and gids[j] == gids[i]:
+                    (pos if labels[j] else neg).append(int(items[j]))
+                    j += 1
+                pos = sorted(set(p for p in pos if p != 0))
+                neg = sorted(set(x for x in neg if x != 0))
+                for r in range(i, j - 1):
+                    pos_col.append([])
+                    neg_col.append([])
+                    keep.append(False)
+                pos_col.append(pos)
+                neg_col.append(neg)
+                keep.append(len(pos) > 0 and len(neg) > 0)
+                i = j
+            df = df.copy()
+            df["pos_items"] = pos_col
+            df["neg_items"] = neg_col
+            df["pos_num"] = [len(p) for p in pos_col]
+            df["neg_num"] = [len(x) for x in neg_col]
+            self.data_df[key] = df[np.array(keep)].reset_index(drop=True)
+        logging.info(
+            "train, dev, test request num: %d %d %d"
+            % tuple(len(self.data_df[k]) for k in ["train", "dev", "test"])
+        )
+
+
+class ImpressionSeqReader(ImpressionReader):
+    """Impression + sequential: dual per-user pos/neg histories with
+    per-request position/neg_position (src/helpers/ImpressionSeqReader.py).
+    """
+
+    def __init__(self, args):
+        super().__init__(args)
+        self._append_his_info()
+
+    def _append_his_info(self):
+        logging.info("Appending history info with corresponding impressions...")
+        frames = []
+        for key in ["train", "dev", "test"]:
+            d = self.data_df[key][["user_id", "pos_items", "neg_items", "time", self.impression_idkey]].copy() \
+                if self.impression_idkey != "time" else \
+                self.data_df[key][["user_id", "pos_items", "neg_items", "time"]].copy()
+            frames.append(d)
+        sort_cols = ["user_id", "time"] if self.impression_idkey == "time" else \
+            ["user_id", self.impression_idkey, "time"]
+        sort_df = pd.concat(frames).sort_values(by=sort_cols, kind="mergesort")
+        position, neg_position = [], []
+        self.user_his = dict()
+        for uid, pids, nids, t in zip(sort_df["user_id"], sort_df["pos_items"], sort_df["neg_items"], sort_df["time"]):
+            if uid not in self.user_his:
+                self.user_his[uid] = {"pos": [], "neg": []}
+            position.append(len(self.user_his[uid]["pos"]))
+            neg_position.append(len(self.user_his[uid]["neg"]))
+            for pid in pids:
+                self.user_his[uid]["pos"].append((pid, t))
+            for nid in nids:
+                self.user_his[uid]["neg"].append((nid, t))
+        sort_df = sort_df.copy()
+        sort_df["position"] = position
+        sort_df["neg_position"] = neg_position
+        merge_on = ["user_id", self.impression_idkey]
+        for key in ["train", "dev", "test"]:
+            self.data_df[key] = pd.merge(
+                left=self.data_df[key],
+                right=sort_df.drop(columns=["pos_items", "neg_items"]
+                                   + (["time"] if self.impression_idkey != "time" else [])),
+                how="left", on=merge_on,
+            )
+
+    def dual_history_arrays(self, df: pd.DataFrame, history_max: int):
+        """Fixed-shape pos/neg histories: returns (his, his_t, len,
+        neg_his, neg_his_t, neg_len)."""
+        n = len(df)
+        out = {}
+        for tag, pos_col in [("pos", "position"), ("neg", "neg_position")]:
+            his = np.zeros((n, history_max), dtype=np.int32)
+            his_t = np.zeros((n, history_max), dtype=np.int64)
+            lens = np.zeros((n,), dtype=np.int32)
+            his_np = {u: np.asarray(h[tag], dtype=np.int64).reshape(-1, 2) for u, h in self.user_his.items()}
+            users = df["user_id"].to_numpy()
+            positions = df[pos_col].to_numpy()
+            for r in range(n):
+                u, p = users[r], int(positions[r])
+                if p <= 0:
+                    continue
+                h = his_np[u][max(0, p - history_max): p]
+                L = len(h)
+                his[r, :L] = h[:, 0]
+                his_t[r, :L] = h[:, 1]
+                lens[r] = L
+            out[tag] = (his, his_t, lens)
+        return out["pos"] + out["neg"]

@@ -1,9 +1,12 @@
 """Bind reader classes into the registry (kept separate so readers.py has
 no registry dependency and can be unit-tested standalone)."""
 from rechorus_tpu import registry
-from rechorus_tpu.data.readers import BaseReader, ContextReader, ContextSeqReader, SeqReader
+from rechorus_tpu.data.readers import (BaseReader, ContextReader, ContextSeqReader,
+    ImpressionReader, ImpressionSeqReader, SeqReader)
 
 registry.register_reader("BaseReader")(BaseReader)
 registry.register_reader("SeqReader")(SeqReader)
 registry.register_reader("ContextReader")(ContextReader)
 registry.register_reader("ContextSeqReader")(ContextSeqReader)
+registry.register_reader("ImpressionReader")(ImpressionReader)
+registry.register_reader("ImpressionSeqReader")(ImpressionSeqReader)

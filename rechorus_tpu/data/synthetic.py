@@ -122,3 +122,49 @@ def make_ctr_dataset(
     })
     user_meta.to_csv(os.path.join(path, "user_meta.csv"), sep="\t", index=False)
     return {"n_users": n_users, "n_items": n_items}
+
+
+def make_impression_dataset(
+    path: str,
+    n_users: int = 120,
+    n_items: int = 80,
+    n_impressions: int = 8,
+    n_groups: int = 4,
+    seed: int = 2,
+):
+    """Impression rows: several rows per (user, time) request; positives
+    biased to the user's group so ranking positives above negatives is
+    learnable. Splits: last impression -> test, second-to-last -> dev."""
+    rng = np.random.default_rng(seed)
+    all_items = np.arange(1, n_items + 1)
+    rows = []
+    for u in range(1, n_users + 1):
+        g = u % n_groups
+        group_items = all_items[all_items % n_groups == g]
+        other_items = all_items[all_items % n_groups != g]
+        t0 = int(rng.integers(1e8, 2e8))
+        for imp in range(n_impressions):
+            t = t0 + imp * 86400
+            n_pos = int(rng.integers(1, 4))
+            n_neg = int(rng.integers(3, 7))
+            pos = rng.choice(group_items, size=n_pos, replace=False)
+            neg = rng.choice(other_items, size=n_neg, replace=False)
+            for it in pos:
+                rows.append((u, int(it), t, 1))
+            for it in neg:
+                rows.append((u, int(it), t, 0))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "time", "label"])
+    df = df.sort_values(by=["user_id", "time"], kind="mergesort").reset_index(drop=True)
+    # split by impression index per user
+    t_per_user = df.groupby("user_id")["time"].transform("max")
+    t2_per_user = df[df["time"] < t_per_user].groupby("user_id")["time"].transform("max")
+    test = df[df["time"] == t_per_user]
+    rest = df[df["time"] < t_per_user]
+    t2 = rest.groupby("user_id")["time"].transform("max")
+    dev = rest[rest["time"] == t2]
+    train = rest[rest["time"] < t2]
+    os.makedirs(path, exist_ok=True)
+    train.to_csv(os.path.join(path, "train.csv"), sep="\t", index=False)
+    dev.to_csv(os.path.join(path, "dev.csv"), sep="\t", index=False)
+    test.to_csv(os.path.join(path, "test.csv"), sep="\t", index=False)
+    return {"n_users": n_users, "n_items": n_items}

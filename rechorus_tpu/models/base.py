@@ -472,3 +472,55 @@ class ContextSeqCTRModel(ContextCTRModel):
         parser.add_argument("--add_historical_situations", type=int, default=0,
                             help="Whether to add historical situation context as sequence.")
         return ContextCTRModel.parse_model_args(parser)
+
+
+class ImpressionModel(GeneralModel):
+    """Listwise impression model base (reference BaseImpressionModel.py:
+    10-211): logged pos/neg lists padded to fixed caps, 4 listwise loss
+    families, no train-time sampling, no anti-leak permutation (the
+    pos|neg column layout is structural)."""
+
+    reader: ClassVar[str] = "ImpressionReader"
+    runner: ClassVar[str] = "ImpressionRunner"
+    batcher: ClassVar[str] = "impression"
+    permute_candidates: ClassVar[bool] = False
+
+    loss_n: str = "BPR"
+    train_max_pos_item: int = 20
+    train_max_neg_item: int = 20
+    test_max_pos_item: int = 20
+    test_max_neg_item: int = 20
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--loss_n", type=str, default="BPR",
+                            help="BPR(+after/before/simple/hard) | listnet | softmaxCE | attention_rank")
+        parser.add_argument("--train_max_pos_item", type=int, default=20,
+                            help="Max number of positive items per impression in training.")
+        parser.add_argument("--train_max_neg_item", type=int, default=20,
+                            help="Max number of negative items per impression in training.")
+        parser.add_argument("--test_max_pos_item", type=int, default=20,
+                            help="Max number of positive items per impression in testing.")
+        parser.add_argument("--test_max_neg_item", type=int, default=20,
+                            help="Max number of negative items per impression in testing.")
+        return GeneralModel.parse_model_args(parser)
+
+    def loss(self, out_dict, feed):
+        return losses.impression_loss(
+            out_dict["prediction"], feed["target"], self.train_max_pos_item, self.loss_n
+        )
+
+
+class ImpressionSeqModel(ImpressionModel):
+    """Adds dual pos/neg history feeds (reference BaseImpressionModel.py:
+    213-277)."""
+
+    reader: ClassVar[str] = "ImpressionSeqReader"
+    batcher: ClassVar[str] = "impression_seq"
+
+    history_max: int = 20
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--history_max", type=int, default=20, help="Maximum length of history.")
+        return ImpressionModel.parse_model_args(parser)

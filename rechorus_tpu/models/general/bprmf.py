@@ -49,3 +49,24 @@ class BPRMF(GeneralModel, BPRMFBase):
     @nn.compact
     def __call__(self, feed, training: bool = False):
         return {"prediction": self.score(feed)["prediction"]}
+
+
+from rechorus_tpu.models.base import ImpressionModel  # noqa: E402
+
+
+@register_model("BPRMFImpression")
+class BPRMFImpression(ImpressionModel, BPRMFBase):
+    """Impression-mode BPRMF (reference BPRMF.py:65-80)."""
+
+    extra_log_args: ClassVar[list] = ["emb_size", "batch_size"]
+
+    emb_size: int = 64
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser = BPRMFBase.parse_model_args_base(parser)
+        return ImpressionModel.parse_model_args(parser)
+
+    @nn.compact
+    def __call__(self, feed, training: bool = False):
+        return self.score(feed)

@@ -54,3 +54,25 @@ class GRU4Rec(SequentialModel, GRU4RecBase):
     @nn.compact
     def __call__(self, feed, training: bool = False):
         return {"prediction": self.score(feed, training)["prediction"]}
+
+
+from rechorus_tpu.models.base import ImpressionSeqModel  # noqa: E402
+
+
+@register_model("GRU4RecImpression")
+class GRU4RecImpression(ImpressionSeqModel, GRU4RecBase):
+    """Impression-mode GRU4Rec (reference GRU4Rec.py:93-106)."""
+
+    extra_log_args: ClassVar[list] = ["emb_size", "hidden_size"]
+
+    emb_size: int = 64
+    hidden_size: int = 100
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser = GRU4RecBase.parse_model_args_base(parser)
+        return ImpressionSeqModel.parse_model_args(parser)
+
+    @nn.compact
+    def __call__(self, feed, training: bool = False):
+        return self.score(feed, training)

@@ -75,3 +75,26 @@ class SASRec(SequentialModel, SASRecBase):
     @nn.compact
     def __call__(self, feed, training: bool = False):
         return {"prediction": self.score(feed, training)["prediction"]}
+
+
+from rechorus_tpu.models.base import ImpressionSeqModel  # noqa: E402
+
+
+@register_model("SASRecImpression")
+class SASRecImpression(ImpressionSeqModel, SASRecBase):
+    """Impression-mode SASRec (reference SASRec.py:107-122)."""
+
+    extra_log_args: ClassVar[list] = ["emb_size", "num_layers", "num_heads"]
+
+    emb_size: int = 64
+    num_layers: int = 1
+    num_heads: int = 4
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser = SASRecBase.parse_model_args_base(parser)
+        return ImpressionSeqModel.parse_model_args(parser)
+
+    @nn.compact
+    def __call__(self, feed, training: bool = False):
+        return self.score(feed, training)

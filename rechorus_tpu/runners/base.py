@@ -167,7 +167,11 @@ class BaseRunner:
             feed = batcher.train_feed(arrays, idx, neg_key)
             # anti-position-leak permutation (ranking tasks only)
             inv = None
-            if "item_id" in feed and feed["item_id"].ndim == 2:
+            if (
+                "item_id" in feed
+                and feed["item_id"].ndim == 2
+                and getattr(model, "permute_candidates", True)
+            ):
                 from rechorus_tpu.ops import sampling
 
                 feed["item_id"], inv = sampling.permute_candidates(perm_key, feed["item_id"])

@@ -443,3 +443,66 @@ class ImpressionSeqBatcher(ImpressionBatcher):
                   "neg_history_items", "neg_history_times", "neg_lengths"]:
             feed[k] = arrays[k][idx]
         return feed
+
+
+@register_batcher("rerank")
+class RerankBatcher(ImpressionBatcher):
+    """Impression feeds + frozen-ranker outputs computed inside the
+    jitted step (reference instead runs the ranker in DataLoader collate,
+    BaseRerankerModel.py:70-84)."""
+
+    def build(self):
+        super().build()
+        from rechorus_tpu.models.reranker._loader import load_ranker
+
+        def example_feed():
+            arrays = {k: jnp.asarray(v[:2]) for k, v in self.arrays.items()}
+            return ImpressionBatcher._feed(self, arrays, jnp.arange(2))
+
+        self.ranker, self.ranker_variables = load_ranker(self.args, self.corpus, example_feed)
+
+    def _feed(self, arrays, idx):
+        feed = super()._feed(arrays, idx)
+        out = self.ranker.apply(self.ranker_variables, feed, training=False)
+        valid = feed["target"] != -1
+        scores = jnp.where(valid, out["prediction"], -jnp.inf)
+        order = jnp.argsort(-scores, axis=1)
+        position = jnp.argsort(order, axis=1)
+        feed["scores"] = scores
+        feed["position"] = position.astype(jnp.int32)
+        feed["padding_mask"] = ~valid
+        feed["u_v"] = out["u_v"]
+        feed["i_v"] = out["i_v"]
+        return feed
+
+
+@register_batcher("rerank_seq")
+class RerankSeqBatcher(ImpressionSeqBatcher):
+    def build(self):
+        super().build()
+        from rechorus_tpu.models.reranker._loader import load_ranker
+
+        def example_feed():
+            arrays = {k: jnp.asarray(v[:2]) for k, v in self.arrays.items()}
+            return ImpressionSeqBatcher._feed(self, arrays, jnp.arange(2))
+
+        self.ranker, self.ranker_variables = load_ranker(self.args, self.corpus, example_feed)
+
+    def _feed(self, arrays, idx):
+        feed = super()._feed(arrays, idx)
+        out = self.ranker.apply(self.ranker_variables, feed, training=False)
+        valid = feed["target"] != -1
+        scores = jnp.where(valid, out["prediction"], -jnp.inf)
+        order = jnp.argsort(-scores, axis=1)
+        feed["scores"] = scores
+        feed["position"] = jnp.argsort(order, axis=1).astype(jnp.int32)
+        feed["padding_mask"] = ~valid
+        feed["u_v"] = out["u_v"]
+        feed["i_v"] = out["i_v"]
+        # his_v: ranker item embeddings of the positive history; obtained
+        # by scoring the history ids as candidates and taking i_v
+        his_feed = dict(feed)
+        his_feed["item_id"] = feed["history_items"]
+        his_out = self.ranker.apply(self.ranker_variables, his_feed, training=False)
+        feed["his_v"] = his_out["i_v"]
+        return feed

@@ -524,3 +524,58 @@ class ImpressionSeqModel(ImpressionModel):
     def parse_model_args(parser):
         parser.add_argument("--history_max", type=int, default=20, help="Maximum length of history.")
         return ImpressionModel.parse_model_args(parser)
+
+
+class RerankModel(ImpressionModel):
+    """Listwise re-ranker over a FROZEN pre-trained base ranker.
+
+    Parity: reference src/models/BaseRerankerModel.py:15-84. The ranker
+    forward runs as the first stage of the jitted step (see
+    models/reranker/_loader.py); feeds gain 'scores' (pads -inf),
+    'position' (rank order of ranker scores), 'padding_mask', 'u_v',
+    'i_v'. --tuneranker is not supported yet (ranker params are frozen
+    device constants).
+    """
+
+    reader: ClassVar[str] = "ImpressionReader"
+    runner: ClassVar[str] = "ImpressionRunner"
+    batcher: ClassVar[str] = "rerank"
+    extra_log_args: ClassVar[list] = ["tuneranker"]
+
+    ranker_name: str = "BPRMF"
+    ranker_config_file: str = ""
+    ranker_model_file: str = ""
+    tuneranker: int = 0
+    ranker_emb_size: int = 64
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--ranker_name", type=str, default="BPRMF", help="Base ranker")
+        parser.add_argument("--ranker_config_file", type=str, default="", help="Base ranker config file (yaml)")
+        parser.add_argument("--ranker_model_file", type=str, default="", help="Base ranker model file")
+        parser.add_argument("--tuneranker", type=int, default=0,
+                            help="Kept for CLI parity; tuning the ranker jointly is not supported yet.")
+        return ImpressionModel.parse_model_args(parser)
+
+    @classmethod
+    def corpus_kwargs(cls, args, corpus):
+        from rechorus_tpu.models.reranker._loader import ranker_emb_size
+
+        kw = super().corpus_kwargs(args, corpus)
+        kw["ranker_emb_size"] = ranker_emb_size(args)
+        return kw
+
+
+class RerankSeqModel(RerankModel):
+    """+ history feeds and 'his_v' = ranker item embeddings of the
+    positive history (reference BaseRerankerModel.py:86-133)."""
+
+    reader: ClassVar[str] = "ImpressionSeqReader"
+    batcher: ClassVar[str] = "rerank_seq"
+
+    history_max: int = 20
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--history_max", type=int, default=20, help="Maximum length of history.")
+        return RerankModel.parse_model_args(parser)

@@ -204,6 +204,7 @@ class MultiHeadAttention(nn.Module):
     kq_same: bool = False
     use_bias: bool = True
     attention_d: int = -1  # output dim; defaults to d_model (reference :17-20)
+    out_proj: bool = False  # torch nn.MultiheadAttention-style output proj
 
     @nn.compact
     def __call__(self, q, k, v, mask=None):
@@ -227,7 +228,24 @@ class MultiHeadAttention(nn.Module):
         attn = jnp.nan_to_num(attn)  # rows fully masked -> 0 (reference NaN guard)
         out = jnp.einsum("...qk,...kd->...qd", attn, vh)
         out = out.swapaxes(-2, -3).reshape(out.shape[:-3] + (q.shape[-2], att_d))
+        if self.out_proj:
+            out = dense(att_d, self.use_bias, name="out_proj")(out)
         return out
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM over padded sequences -> [B, L, 2*hidden]."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, seq, lengths=None):
+        fwd = nn.RNN(nn.OptimizedLSTMCell(features=self.hidden_size), name="fwd")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(features=self.hidden_size), reverse=True,
+                     keep_order=True, name="bwd")
+        out_f = fwd(seq, seq_lengths=lengths)
+        out_b = bwd(seq, seq_lengths=lengths)
+        return jnp.concatenate([out_f, out_b], axis=-1)
 
 
 class MultiHeadTargetAttention(nn.Module):
@@ -283,12 +301,13 @@ class TransformerLayer(nn.Module):
     n_heads: int
     dropout: float = 0.0
     kq_same: bool = False
+    out_proj: bool = False
 
     @nn.compact
     def __call__(self, seq, mask=None, training: bool = False):
-        context = MultiHeadAttention(self.d_model, self.n_heads, kq_same=self.kq_same, name="mha")(
-            seq, seq, seq, mask=mask
-        )
+        context = MultiHeadAttention(
+            self.d_model, self.n_heads, kq_same=self.kq_same, out_proj=self.out_proj, name="mha"
+        )(seq, seq, seq, mask=mask)
         context = nn.Dropout(self.dropout, deterministic=not training)(context)
         context = nn.LayerNorm(name="ln1")(context + seq)
         ff = dense(self.d_ff, name="ff1")(context)

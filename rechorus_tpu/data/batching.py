@@ -83,7 +83,7 @@ class GeneralBatcher(Batcher):
         self.test_all = bool(getattr(self.model, "test_all", 0)) and self.phase != "train"
         if self.phase == "train":
             self.arrays["_clicked"] = self.corpus.clicked_matrix(include_residual=False)
-            self.num_neg = self.model.num_neg
+            self.num_neg = self.model.num_neg if getattr(self.model, "train_with_neg", True) else 0
         elif not self.test_all:
             neg = np.stack(self.corpus.data_df[self.phase]["neg_items"].to_list()).astype(np.int32)
             self.arrays["neg_items"] = neg
@@ -96,10 +96,13 @@ class GeneralBatcher(Batcher):
     def train_feed(self, arrays, idx, key):
         users = arrays["user_id"][idx]
         target = arrays["target_item"][idx]
-        neg = sampling.sample_negatives(
-            key, users, arrays["_clicked"], self.num_neg, self.corpus.n_items
-        )
-        item_ids = jnp.concatenate([target[:, None], neg], axis=1)
+        if self.num_neg > 0:
+            neg = sampling.sample_negatives(
+                key, users, arrays["_clicked"], self.num_neg, self.corpus.n_items
+            )
+            item_ids = jnp.concatenate([target[:, None], neg], axis=1)
+        else:  # self-supervised models (BUIR/DirectAU): positives only
+            item_ids = target[:, None]
         return {"user_id": users, "item_id": item_ids, "batch_size": users.shape[0]}
 
     def eval_feed(self, arrays, idx):

@@ -79,6 +79,9 @@ class GeneralModel(BaseModel):
     reader: ClassVar[str] = "BaseReader"
     runner: ClassVar[str] = "BaseRunner"
     batcher: ClassVar[str] = "general"
+    # Self-supervised models (BUIR/DirectAU) train without negatives
+    # (reference overrides Dataset.actions_before_epoch to sample none)
+    train_with_neg: ClassVar[bool] = True
 
     user_num: int = 0
     item_num: int = 0

@@ -138,7 +138,11 @@ class BaseRunner:
         tx = build_optimizer(self.optimizer_name, self.learning_rate, self.l2)
         opt_state = tx.init(params)
         self._tx = tx
-        return TrainState(params=params, extra_vars=extra, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        state = TrainState(params=params, extra_vars=extra, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        if hasattr(model, "post_init_state"):
+            # e.g. BUIR copies online params into the EMA target collection
+            state = model.post_init_state(state)
+        return state
 
     def save_model(self, state: TrainState, model_path: str = None):
         path = model_path or self.model_path
@@ -201,6 +205,7 @@ class BaseRunner:
             new_params = optax.apply_updates(state.params, updates)
             extra = dict(state.extra_vars)
             extra.update(new_vars)
+            extra = self._post_update(model, new_params, extra)
             new_state = TrainState(
                 params=new_params, extra_vars=extra, opt_state=new_opt, step=state.step + 1
             )
@@ -241,6 +246,10 @@ class BaseRunner:
 
         self._compiled[phase] = eval_fn
         return eval_fn
+
+    def _post_update(self, model, params, extra_vars):
+        """Traced hook after each optimizer step (see BUIRRunner)."""
+        return extra_vars
 
     # ------------------------------------------------------------------ #
     def _batch_index_matrix(self, n: int, batch_size: int, perm: np.ndarray = None) -> np.ndarray:

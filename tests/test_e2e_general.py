@@ -91,3 +91,44 @@ def test_test_all_eval(corpus):
     args = make_args(test_all=1, epoch=2)
     before, after = run_model(corpus, "BPRMF", args)
     assert np.isfinite(after["HR@5"])
+
+
+def test_lightgcn_learns(corpus):
+    args = make_args(n_layers=2, epoch=6)
+    before, after = run_model(corpus, "LightGCN", args)
+    assert after["HR@5"] > before["HR@5"]
+    assert after["HR@5"] > 0.4
+
+
+def test_buir_runs(corpus):
+    """BUIR: EMA target update + no-negative training produce finite,
+    non-degenerate results."""
+    args = make_args(momentum=0.95, epoch=4, lr=5e-3)
+    before, after = run_model(corpus, "BUIR", args)
+    assert np.isfinite(after["HR@5"])
+
+
+def test_buir_target_follows_online():
+    import jax
+    import jax.numpy as jnp
+
+    from rechorus_tpu.registry import get_model
+
+    model = get_model("BUIR")(user_num=8, item_num=16, emb_size=4, momentum=0.9)
+    feed = {"user_id": jnp.zeros((2,), jnp.int32), "item_id": jnp.ones((2, 1), jnp.int32)}
+    variables = model.init({"params": jax.random.key(0)}, feed, training=True)
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    # simulate post_init copy
+    extra["target"] = {"user_target": params["user_online"], "item_target": params["item_online"]}
+    new_params = jax.tree.map(lambda x: x + 1.0, params)
+    updated = model.ema_update(new_params, extra)
+    expect = params["user_online"] * 0.9 + new_params["user_online"] * 0.1
+    assert np.allclose(np.asarray(updated["target"]["user_target"]), np.asarray(expect), atol=1e-6)
+
+
+def test_directau_learns(corpus):
+    args = make_args(gamma=0.3, epoch=8, lr=1e-2)
+    before, after = run_model(corpus, "DirectAU", args)
+    assert np.isfinite(after["HR@5"])
+    assert after["HR@5"] > before["HR@5"]

@@ -509,3 +509,522 @@ class RerankSeqBatcher(ImpressionSeqBatcher):
         his_out = self.ranker.apply(self.ranker_variables, his_feed, training=False)
         feed["his_v"] = his_out["i_v"]
         return feed
+
+
+# ---------------------------------------------------------------------------
+# Knowledge-aware batchers
+# ---------------------------------------------------------------------------
+
+
+def _kg_corruption(batcher, arrays, idx, key, swap_feed: bool = False):
+    """4-column TransE corruption (h,h,h,h') x (t,t,t',t), negatives
+    rejection-sampled on device against the packed triplet set
+    (reference CFKG.Dataset / Chorus.Dataset.actions_before_epoch).
+    swap_feed reverses head/tail in the FEED (Chorus stage-1 trains the
+    inverse relations is_complement_of / is_substitute_of,
+    reference Chorus.py:205-210)."""
+    from rechorus_tpu.ops import kg as kg_ops
+
+    h = arrays["kg_head"][idx]
+    r = arrays["kg_relation"][idx]
+    t = arrays["kg_tail"][idx]
+    neg_heads, neg_tails = kg_ops.sample_kg_negatives(
+        key, h, r, t, arrays["_triplet_keys"],
+        batcher.corpus.n_relations, batcher.corpus.n_entities,
+        hi_tail=batcher.kg_neg_hi, hi_head=batcher.kg_neg_hi,
+    )
+    head_id = jnp.stack([h, h, h, neg_heads], axis=1)
+    tail_id = jnp.stack([t, t, neg_tails, t], axis=1)
+    relation_id = jnp.broadcast_to(r[:, None], (r.shape[0], 4))
+    if swap_feed:
+        head_id, tail_id = tail_id, head_id
+    return {"head_id": head_id, "tail_id": tail_id, "relation_id": relation_id,
+            "batch_size": h.shape[0]}
+
+
+@register_batcher("cfkg")
+class CFKGBatcher(Batcher):
+    """CFKG: train rows = KG triplets + 'buy' interactions (relation 0);
+    eval = user-head, relation 0, candidate tails. Entity indexing in the
+    FEED: users first, then entities (+n_users offsets applied here,
+    reference CFKG.Dataset._get_feed_dict).
+
+    Deviation noted for parity: for relation>0 rows the reference's
+    initial neg_tail draw is U[1, n_items) but resamples land in
+    U[1, n_entities) (CFKG.py actions_before_epoch) -- we sample both
+    uniformly from U[1, n_entities), the distribution its loop converges
+    to.
+    """
+
+    def build(self):
+        df = self.corpus.data_df[self.phase]
+        self.n_users = self.corpus.n_users
+        if self.phase == "train":
+            rel = self.corpus.relation_df
+            inter = df
+            self.arrays["kg_head"] = np.concatenate(
+                [rel["head"].to_numpy(), inter["user_id"].to_numpy()]).astype(np.int32)
+            self.arrays["kg_tail"] = np.concatenate(
+                [rel["tail"].to_numpy(), inter["item_id"].to_numpy()]).astype(np.int32)
+            self.arrays["kg_relation"] = np.concatenate(
+                [rel["relation"].to_numpy(), np.zeros(len(inter))]).astype(np.int32)
+            self.arrays["_triplet_keys"] = self.corpus.sorted_triplet_keys()
+            self.arrays["_clicked"] = self.corpus.clicked_matrix(include_residual=False)
+            self.n = len(self.arrays["kg_head"])
+        else:
+            self.n = len(df)
+            self.arrays["user_id"] = df["user_id"].to_numpy().astype(np.int32)
+            self.arrays["target_item"] = df["item_id"].to_numpy().astype(np.int32)
+            self.test_all = bool(getattr(self.model, "test_all", 0))
+            if not self.test_all:
+                self.arrays["neg_items"] = np.stack(df["neg_items"].to_list()).astype(np.int32)
+            else:
+                self.arrays["_clicked_all"] = self.corpus.clicked_matrix(include_residual=True)
+
+    def train_feed(self, arrays, idx, key):
+        from rechorus_tpu.ops import kg as kg_ops
+
+        h = arrays["kg_head"][idx]
+        r = arrays["kg_relation"][idx]
+        t = arrays["kg_tail"][idx]
+        is_buy = r == 0
+        B = h.shape[0]
+        n_users, n_items = self.corpus.n_users, self.corpus.n_items
+        n_entities, n_rel = self.corpus.n_entities, self.corpus.n_relations
+        clicked = arrays["_clicked"]
+        keys = arrays["_triplet_keys"]
+
+        def in_clicked(users, cand):
+            rows = clicked[jnp.clip(users, 0, n_users - 1)]
+            return (cand[:, None] == rows).any(axis=-1)
+
+        def resample(key, bad_fn, buy_hi):
+            def draw(sub):
+                raw = jax.random.randint(sub, (B,), 1, n_entities, dtype=jnp.int32)
+                buy = 1 + (raw - 1) % (buy_hi - 1)
+                return jnp.where(is_buy, buy, raw)
+
+            key, sub = jax.random.split(key)
+            cand = draw(sub)
+
+            def body(i, carry):
+                cand, key = carry
+                key, sub = jax.random.split(key)
+                return jnp.where(bad_fn(cand), draw(sub), cand), key
+
+            cand, _ = jax.lax.fori_loop(0, 8, body, (cand, key))
+            return cand
+
+        k1, k2 = jax.random.split(key)
+        # neg tail: buy rows avoid the head-user's clicked items; KG rows
+        # avoid existing (h, r, t') triplets
+        neg_tails = resample(
+            k1,
+            lambda c: jnp.where(is_buy, in_clicked(h, c),
+                                kg_ops.is_member(keys, h, r, c, n_rel, n_entities)),
+            n_items,
+        )
+        # neg head: buy rows pick a user u' whose clicked set excludes t;
+        # KG rows avoid (h', r, t)
+        neg_heads = resample(
+            k2,
+            lambda c: jnp.where(is_buy, in_clicked(c, t),
+                                kg_ops.is_member(keys, c, r, t, n_rel, n_entities)),
+            n_users,
+        )
+        head_id = jnp.stack([h, h, h, neg_heads], axis=1)
+        tail_id = jnp.stack([t, t, neg_tails, t], axis=1) + n_users
+        head_id = jnp.where((r > 0)[:, None], head_id + n_users, head_id)
+        relation_id = jnp.broadcast_to(r[:, None], (B, 4))
+        return {"head_id": head_id, "tail_id": tail_id, "relation_id": relation_id,
+                "batch_size": B}
+
+    def eval_feed(self, arrays, idx):
+        users = arrays["user_id"][idx]
+        target = arrays["target_item"][idx]
+        B = users.shape[0]
+        if getattr(self, "test_all", False):
+            tails = jnp.broadcast_to(
+                jnp.arange(self.corpus.n_items, dtype=jnp.int32)[None, :],
+                (B, self.corpus.n_items))
+            feed = {"_clicked_rows": arrays["_clicked_all"][users], "_target": target}
+        else:
+            tails = jnp.concatenate([target[:, None], arrays["neg_items"][idx]], axis=1)
+            feed = {}
+        feed.update({
+            "head_id": jnp.broadcast_to(users[:, None], tails.shape),
+            "tail_id": tails + self.corpus.n_users,
+            "relation_id": jnp.zeros_like(tails),
+            "batch_size": B,
+        })
+        return feed
+
+
+@register_batcher("slrc")
+class SLRCBatcher(SequentialBatcher):
+    """Sequential feeds + [B, C, R] relational_interval computed on device
+    (reference SLRCPlus.Dataset._get_feed_dict python loops)."""
+
+    include_repeat = True
+
+    def build(self):
+        super().build()
+        self.arrays["time"] = self._df["time"].to_numpy().astype(np.int64)
+        self.arrays["_triplet_keys"] = self.corpus.sorted_triplet_keys()
+        if self.phase != "train" and not getattr(self, "test_all", False):
+            # eval candidates are static -> compute [n, C, R] intervals ONCE
+            # instead of per-epoch inside the eval scan
+            self.arrays["relational_interval"] = self._precompute_eval_intervals()
+
+    def _interval_fn(self, history, his_times, now, items, keys):
+        from rechorus_tpu.ops import kg as kg_ops
+
+        return kg_ops.relational_intervals(
+            history, his_times, now, items, keys,
+            self.corpus.n_relations, self.corpus.n_entities,
+            float(self.model.time_scalar), self.include_repeat,
+            query_relations=self.model.relation_num,
+        )
+
+    def _precompute_eval_intervals(self) -> np.ndarray:
+        keys = jnp.asarray(self.arrays["_triplet_keys"])
+        items = np.concatenate(
+            [self.arrays["target_item"][:, None], self.arrays["neg_items"]], axis=1)
+        f = jax.jit(lambda h, ht, now, it: self._interval_fn(h, ht, now, it, keys))
+        out, B = [], 1024
+        for s in range(0, self.n, B):
+            e = min(s + B, self.n)
+            out.append(np.asarray(f(
+                jnp.asarray(self.arrays["history_items"][s:e]),
+                jnp.asarray(self.arrays["history_times"][s:e]),
+                jnp.asarray(self.arrays["time"][s:e]),
+                jnp.asarray(items[s:e]))))
+        return np.concatenate(out, axis=0)
+
+    def _add_interval(self, feed, arrays, idx):
+        if "relational_interval" in arrays:
+            feed["relational_interval"] = arrays["relational_interval"][idx]
+        else:
+            feed["relational_interval"] = self._interval_fn(
+                feed["history_items"], feed["history_times"], arrays["time"][idx],
+                feed["item_id"], arrays["_triplet_keys"])
+        return feed
+
+    def train_feed(self, arrays, idx, key):
+        return self._add_interval(super().train_feed(arrays, idx, key), arrays, idx)
+
+    def eval_feed(self, arrays, idx):
+        return self._add_interval(super().eval_feed(arrays, idx), arrays, idx)
+
+
+@register_batcher("chorus")
+class ChorusBatcher(SLRCBatcher):
+    """Stage 1 train: TransE corruption over reversed relation triplets;
+    otherwise sequential + relational_interval (no repeat relation) +
+    per-candidate category_id (reference Chorus.Dataset)."""
+
+    include_repeat = False
+
+    def build(self):
+        self.kg_train = self.model.stage == 1 and self.phase == "train"
+        if self.kg_train:
+            rel = self.corpus.relation_df
+            self.arrays["kg_head"] = rel["head"].to_numpy().astype(np.int32)
+            self.arrays["kg_tail"] = rel["tail"].to_numpy().astype(np.int32)
+            self.arrays["kg_relation"] = rel["relation"].to_numpy().astype(np.int32)
+            self.arrays["_triplet_keys"] = self.corpus.sorted_triplet_keys()
+            self.kg_neg_hi = self.corpus.n_items
+            self.n = len(rel)
+            return
+        super().build()
+        cate = np.zeros(self.corpus.n_items, dtype=np.int32)
+        col = self.model.category_col
+        if col:
+            meta = self.corpus.item_meta_df
+            cate[meta["item_id"].to_numpy()] = meta[col].to_numpy().astype(np.int32)
+        self.arrays["_item2cate"] = cate
+
+    def train_feed(self, arrays, idx, key):
+        if self.kg_train:
+            return _kg_corruption(self, arrays, idx, key, swap_feed=True)
+        feed = super().train_feed(arrays, idx, key)
+        feed["category_id"] = arrays["_item2cate"][feed["item_id"]]
+        return feed
+
+    def eval_feed(self, arrays, idx):
+        feed = super().eval_feed(arrays, idx)
+        feed["category_id"] = arrays["_item2cate"][feed["item_id"]]
+        return feed
+
+
+@register_batcher("kda")
+class KDABatcher(SequentialBatcher):
+    """KDA feeds: sequential + per-candidate relation-value entities
+    (item_val [B,C,R]), log-normalized history time deltas, and a per-row
+    DistMult KG batch with mixed head/tail corruption.
+
+    Parity: reference KDA.Dataset (KDA.py:192-263). The reference samples
+    the epoch's KG rows + negatives on host (actions_before_epoch); here
+    one uniform triplet + its corruptions are drawn per step on device.
+    """
+
+    def build(self):
+        super().build()
+        self.arrays["time"] = self._df["time"].to_numpy().astype(np.int64)
+        self.arrays["_item_val"] = self.corpus.item_value_matrix()
+        if self.phase == "train":
+            rel = self.corpus.relation_df
+            self.arrays["kg_head"] = rel["head"].to_numpy().astype(np.int32)
+            self.arrays["kg_tail"] = rel["tail"].to_numpy().astype(np.int32)
+            self.arrays["kg_relation"] = rel["relation"].to_numpy().astype(np.int32)
+            self.arrays["_triplet_keys"] = self.corpus.sorted_triplet_keys()
+            mat, lens = self.corpus.share_attr_matrix()
+            self.arrays["_share_mat"] = mat
+            self.arrays["_share_len"] = lens
+
+    def _common(self, feed, arrays, idx):
+        feed["item_val"] = arrays["_item_val"][feed["item_id"]]  # [B, C, R]
+        dt = (arrays["time"][idx][:, None] - feed["history_times"]).astype(jnp.float32)
+        # norm_time (reference KDAReader.py:33-37)
+        feed["history_delta_t"] = jnp.maximum(
+            jnp.log2(dt / self.model.t_scalar + 1e-6), 0.0)
+        return feed
+
+    def train_feed(self, arrays, idx, key):
+        from rechorus_tpu.ops import kg as kg_ops
+
+        key, kg_key = jax.random.split(key)
+        feed = self._common(super().train_feed(arrays, idx, key), arrays, idx)
+
+        n_items = self.corpus.n_items
+        n_rel, n_ent = self.corpus.n_relations, self.corpus.n_entities
+        keys_arr = arrays["_triplet_keys"]
+        B = feed["user_id"].shape[0]
+        N = self.model.num_neg
+        k1, k2, k3, k4, k5 = jax.random.split(kg_key, 5)
+
+        tri = jax.random.randint(k1, (B,), 0, len(self.arrays["kg_head"]), dtype=jnp.int32)
+        h = arrays["kg_head"][tri]
+        t = arrays["kg_tail"][tri]
+        r = arrays["kg_relation"][tri]
+        is_attr = t >= n_items
+        val = jnp.where(is_attr, t, 0)
+        # attr rows: tail becomes a random item SHARING the attribute
+        row = jnp.clip(t - n_items, 0, arrays["_share_mat"].shape[0] - 1)
+        j = jax.random.randint(k2, (B,), 0, 1 << 30) % jnp.maximum(arrays["_share_len"][row], 1)
+        t_item = jnp.where(is_attr, arrays["_share_mat"][row, j], t)
+
+        def resample(key, bad_fn):
+            def draw(sub):
+                return jax.random.randint(sub, (B, N), 1, n_items, dtype=jnp.int32)
+
+            key, sub = jax.random.split(key)
+            cand = draw(sub)
+
+            def body(i, carry):
+                cand, key = carry
+                key, sub = jax.random.split(key)
+                return jnp.where(bad_fn(cand), draw(sub), cand), key
+
+            cand, _ = jax.lax.fori_loop(0, 8, body, (cand, key))
+            return cand
+
+        # negative heads: (h', r, tail-or-val) must not exist
+        probe_t = jnp.where(is_attr, val, t_item)
+        neg_head_cand = resample(
+            k3, lambda c: kg_ops.is_member(keys_arr, c, r[:, None], probe_t[:, None], n_rel, n_ent))
+        # negative tails: item-item rows probe (h, r, t'); attr rows probe
+        # (t', r, val) -- the corrupted item must not share the attribute
+        neg_tail_cand = resample(
+            k4, lambda c: jnp.where(
+                is_attr[:, None],
+                kg_ops.is_member(keys_arr, c, r[:, None], val[:, None], n_rel, n_ent),
+                kg_ops.is_member(keys_arr, h[:, None], r[:, None], c, n_rel, n_ent)))
+        choose_head = jax.random.uniform(k5, (B, N)) < self.model.neg_head_p
+        neg_heads = jnp.where(choose_head, neg_head_cand, h[:, None])
+        neg_tails = jnp.where(choose_head, t_item[:, None], neg_tail_cand)
+
+        feed["head_id"] = jnp.concatenate([h[:, None], neg_heads], axis=1)
+        feed["tail_id"] = jnp.concatenate([t_item[:, None], neg_tails], axis=1)
+        feed["relation_id"] = r
+        feed["value_id"] = val
+        return feed
+
+    def eval_feed(self, arrays, idx):
+        return self._common(super().eval_feed(arrays, idx), arrays, idx)
+
+
+@register_batcher("tisas")
+class TiSASBatcher(SequentialBatcher):
+    """Sequential + per-user minimum time interval (reference
+    TiSASRec.py:48-53 computes it over each user's full interaction
+    timeline; the feed carries it per row)."""
+
+    def build(self):
+        super().build()
+        mins = {}
+        for u, user_df in self.corpus.all_df.groupby("user_id"):
+            ts = np.sort(user_df["time"].to_numpy())
+            d = np.diff(ts)
+            d = d[d > 0]
+            mins[u] = int(d.min()) if len(d) else 0xFFFFFFFF
+        users = self._df["user_id"].to_numpy()
+        self.arrays["user_min_intervals"] = np.asarray(
+            [mins[u] for u in users], dtype=np.int64)
+
+    def train_feed(self, arrays, idx, key):
+        feed = super().train_feed(arrays, idx, key)
+        feed["user_min_intervals"] = arrays["user_min_intervals"][idx]
+        return feed
+
+    def eval_feed(self, arrays, idx):
+        feed = super().eval_feed(arrays, idx)
+        feed["user_min_intervals"] = arrays["user_min_intervals"][idx]
+        return feed
+
+
+def _beta_augment(key, hist, lengths, a, b, mask_token):
+    """One augmented view of a padded history batch: 50/50 mask_op /
+    reorder_op with Beta(a,b)-sampled ratios over the VALID prefix
+    (reference ContraRec.Dataset, ContraRec.py:106-140), fully on device."""
+    B, H = hist.shape
+    kc, kr, km, ks, kp = jax.random.split(key, 5)
+    pos = jnp.arange(H)[None, :]
+    valid = pos < lengths[:, None]
+    ratio = jax.random.beta(kr, a, b, (B,))
+
+    # mask_op: mask floor(len*ratio) uniformly-chosen valid positions
+    k = jnp.floor(lengths * ratio).astype(jnp.int32)
+    scores = jax.random.uniform(km, (B, H)) + (~valid) * 2.0
+    rank = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
+    masked = jnp.where((rank < k[:, None]) & valid, mask_token, hist)
+
+    # reorder_op: shuffle a random contiguous span of length floor(len*ratio)
+    slen = jnp.floor(lengths * ratio).astype(jnp.int32)
+    start = jnp.floor(jax.random.uniform(ks, (B,)) *
+                      (lengths - slen + 1).astype(jnp.float32)).astype(jnp.int32)
+    in_span = (pos >= start[:, None]) & (pos < (start + slen)[:, None]) & valid
+    rand_key = start[:, None] + jax.random.uniform(kp, (B, H)) * slen[:, None]
+    sort_key = jnp.where(in_span, rand_key, pos.astype(jnp.float32))
+    order = jnp.argsort(sort_key, axis=-1)
+    reordered = jnp.take_along_axis(hist, order, axis=-1)
+
+    choose_mask = jax.random.uniform(kc, (B,)) > 0.5
+    return jnp.where(choose_mask[:, None], masked, reordered)
+
+
+@register_batcher("contra")
+class ContraBatcher(SequentialBatcher):
+    """Sequential + two on-device augmented history views for ContraRec's
+    context-context contrast."""
+
+    def train_feed(self, arrays, idx, key):
+        key, ka, kb = jax.random.split(key, 3)
+        feed = super().train_feed(arrays, idx, key)
+        mt = self.corpus.n_items  # mask token
+        feed["history_items_a"] = _beta_augment(
+            ka, feed["history_items"], feed["lengths"],
+            float(self.model.beta_a), float(self.model.beta_b), mt)
+        feed["history_items_b"] = _beta_augment(
+            kb, feed["history_items"], feed["lengths"],
+            float(self.model.beta_a), float(self.model.beta_b), mt)
+        return feed
+
+
+@register_batcher("seq_delta")
+class SeqDeltaBatcher(SequentialBatcher):
+    """Sequential + log-normalized history age (FourierTA feeds,
+    reference FourierTA.Dataset + KDAReader.norm_time)."""
+
+    def build(self):
+        super().build()
+        self.arrays["time"] = self._df["time"].to_numpy().astype(np.int64)
+
+    def _delta(self, feed, arrays, idx):
+        dt = (arrays["time"][idx][:, None] - feed["history_times"]).astype(jnp.float32)
+        feed["history_delta_t"] = jnp.maximum(
+            jnp.log2(dt / self.model.t_scalar + 1e-6), 0.0)
+        return feed
+
+    def train_feed(self, arrays, idx, key):
+        return self._delta(super().train_feed(arrays, idx, key), arrays, idx)
+
+    def eval_feed(self, arrays, idx):
+        return self._delta(super().eval_feed(arrays, idx), arrays, idx)
+
+
+@register_batcher("s3rec")
+class S3RecBatcher(SequentialBatcher):
+    """Stage-1 pretrain rows = max_his-chunked user sequences with
+    on-device MIP masking + SP segment sampling (reference S3Rec.Dataset,
+    S3Rec.py:117-183); otherwise plain sequential."""
+
+    def build(self):
+        self.pre_train = self.model.stage == 1 and self.phase == "train"
+        if not self.pre_train:
+            super().build()
+            return
+        H = self.model.history_max
+        long_seq, rows, lens = [], [], []
+        for seq in self.corpus.user_his.values():
+            items = [x[0] for x in seq]
+            long_seq.extend(items)
+            for i in range((len(items) - 1) // H + 1):
+                chunk = items[i * H: (i + 1) * H]
+                rows.append(chunk + [0] * (H - len(chunk)))
+                lens.append(len(chunk))
+        self.n = len(rows)
+        self.arrays["item_seq"] = np.asarray(rows, dtype=np.int32)
+        self.arrays["seq_len"] = np.asarray(lens, dtype=np.int32)
+        self.arrays["long_seq"] = np.asarray(long_seq, dtype=np.int32)
+
+    def train_feed(self, arrays, idx, key):
+        if not self.pre_train:
+            return super().train_feed(arrays, idx, key)
+        seq = arrays["item_seq"][idx]  # [B, H]
+        seq_len = arrays["seq_len"][idx]
+        B, H = seq.shape
+        mask_token = self.corpus.n_items
+        n_items = self.corpus.n_items
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        pos = jnp.arange(H)[None, :]
+        valid = pos < seq_len[:, None]
+
+        # ---- MIP: mask random valid positions, sample neg items not in seq
+        mip_sel = (jax.random.uniform(k1, (B, H)) < self.model.mask_ratio) & valid
+        mask_seq = jnp.where(mip_sel, mask_token, seq)
+
+        def bad(c):  # negative must not appear anywhere in the row's seq
+            return (c[:, :, None] == seq[:, None, :]).any(-1)
+
+        neg = jax.random.randint(k2, (B, H), 1, n_items, dtype=jnp.int32)
+
+        def body(i, carry):
+            neg, k = carry
+            k, sub = jax.random.split(k)
+            fresh = jax.random.randint(sub, (B, H), 1, n_items, dtype=jnp.int32)
+            return jnp.where(bad(neg), fresh, neg), k
+
+        neg, _ = jax.lax.fori_loop(0, 8, body, (neg, k2))
+        neg_item = jnp.where(mip_sel, neg, seq)
+
+        # ---- SP: mask a contiguous segment; neg segment from the global stream
+        ks1, ks2, ks3 = jax.random.split(k3, 3)
+        half = jnp.maximum(seq_len // 2, 1)
+        sample_len = 1 + (jax.random.randint(ks1, (B,), 0, 1 << 30) % half)
+        start = jax.random.randint(ks2, (B,), 0, 1 << 30) % jnp.maximum(seq_len - sample_len, 1)
+        n_long = arrays["long_seq"].shape[0]
+        neg_start = jax.random.randint(ks3, (B,), 0, 1 << 30) % jnp.maximum(n_long - H, 1)
+        in_span = (pos >= start[:, None]) & (pos < (start + sample_len)[:, None]) & valid
+        trivial = (seq_len < 2)[:, None]  # len<2: keep copies (reference :151)
+        mask_seg_seq = jnp.where(in_span & ~trivial, mask_token, seq)
+        pos_seg = jnp.where((in_span | ~valid) | trivial, seq, mask_token)
+        neg_items_gathered = arrays["long_seq"][
+            jnp.clip(neg_start[:, None] + (pos - start[:, None]), 0, n_long - 1)]
+        neg_seg = jnp.where(in_span & ~trivial, neg_items_gathered, pos_seg)
+
+        return {
+            "mask_seq": mask_seq, "pos_item": seq, "neg_item": neg_item,
+            "mask_seg_seq": mask_seg_seq, "pos_seg": pos_seg, "neg_seg": neg_seg,
+            "seq_len": seq_len, "batch_size": B,
+        }

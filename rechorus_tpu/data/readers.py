@@ -460,3 +460,233 @@ class ImpressionSeqReader(ImpressionReader):
                 lens[r] = L
             out[tag] = (his, his_t, lens)
         return out["pos"] + out["neg"]
+
+
+class KGReader(SeqReader):
+    """Knowledge-aware reader: item-item relation triplets from
+    item_meta.csv `r_*` list columns, optional attribute relations from
+    `i_*` columns mapping attribute values to entity ids past n_items.
+
+    Parity: src/helpers/KGReader.py:31-73 -- relation index 0 is reserved
+    for the virtual "buy"/self relation; n_entities = max id over
+    heads/tails + 1; exposes `triplet_set`, `relation_df`, `n_relations`,
+    `item_relations`, `attr_relations`, `share_attr_dict`.
+    """
+
+    @staticmethod
+    def parse_data_args(parser):
+        parser.add_argument("--include_attr", type=int, default=0,
+                            help="Whether include attribute-based relations.")
+        return SeqReader.parse_data_args(parser)
+
+    def __init__(self, args):
+        super().__init__(args)
+        self.include_attr = args.include_attr
+        item_meta_path = os.path.join(self.prefix, self.dataset, "item_meta.csv")
+        self.item_meta_df = eval_list_columns(pd.read_csv(item_meta_path, sep=self.sep))
+        self._construct_kg()
+
+    def _construct_kg(self):
+        logging.info("Constructing relation triplets...")
+        self.triplet_set = set()
+        heads, relations, tails = [], [], []
+
+        self.item_relations = [r for r in self.item_meta_df.columns if r.startswith("r_")]
+        meta_items = self.item_meta_df["item_id"].to_numpy()
+        for r_idx, r in enumerate(self.item_relations):
+            for head_item, tail_list in zip(meta_items, self.item_meta_df[r].values):
+                for tail_item in tail_list:
+                    heads.append(int(head_item))
+                    tails.append(int(tail_item))
+                    relations.append(r_idx + 1)  # 0 reserved for the virtual relation
+                    self.triplet_set.add((int(head_item), r_idx + 1, int(tail_item)))
+        logging.info("Item-item relations:" + str(self.item_relations))
+
+        self.attr_relations = list()
+        if self.include_attr:
+            self.attr_relations = [r for r in self.item_meta_df.columns if r.startswith("i_")]
+            self.attr_max, self.share_attr_dict = list(), dict()
+            for r_idx, attr in enumerate(self.attr_relations):
+                base = self.n_items + int(np.sum(self.attr_max))
+                relation_idx = len(self.item_relations) + r_idx + 1
+                for item, val in zip(self.item_meta_df["item_id"], self.item_meta_df[attr]):
+                    if val != 0:  # 0 encodes NaN
+                        heads.append(int(item))
+                        tails.append(int(val + base))
+                        relations.append(relation_idx)
+                        self.triplet_set.add((int(item), relation_idx, int(val + base)))
+                for val, val_df in self.item_meta_df.groupby(attr):
+                    self.share_attr_dict[int(val + base)] = val_df["item_id"].tolist()
+                self.attr_max.append(int(self.item_meta_df[attr].max()) + 1)
+            logging.info("Attribute-based relations:" + str(self.attr_relations))
+
+        self.relations = self.item_relations + self.attr_relations
+        self.relation_df = pd.DataFrame({"head": heads, "relation": relations, "tail": tails})
+        self.n_relations = len(self.relations) + 1
+        self.n_entities = int(pd.concat((self.relation_df["head"], self.relation_df["tail"])).max()) + 1 \
+            if len(self.relation_df) else self.n_items
+        logging.info('"# relation": {}, "# triplet": {}'.format(self.n_relations, len(self.relation_df)))
+
+    def sorted_triplet_keys(self) -> np.ndarray:
+        from rechorus_tpu.ops.kg import sorted_triplet_keys
+
+        return sorted_triplet_keys(self.relation_df, self.n_relations, self.n_entities)
+
+
+class KDAReader(KGReader):
+    """KDA reader: per-relation time-interval distributions DFT'd into
+    complex freq_x[n_relations, n_dft//2+1] that initialize KDA's
+    frequency-domain decay embeddings.
+
+    Parity: src/helpers/KDAReader.py -- norm_time (33-37) log2-normalizes
+    intervals, _time_interval_cnt (53-85, cached to interval.pkl) collects
+    per-relation delta-t lists (virtual adjacent-interaction relation,
+    attribute-sharing relations, natural item relations probing the KG for
+    the nearest related predecessor), _cal_freq_x (88-106) histograms and
+    DFTs them. The reference's per-user python probe loops are replaced by
+    numpy pairwise membership against the packed triplet keys.
+    """
+
+    @staticmethod
+    def parse_data_args(parser):
+        parser.add_argument("--t_scalar", type=int, default=60, help="Time interval scalar.")
+        parser.add_argument("--n_dft", type=int, default=64, help="The point of DFT.")
+        parser.add_argument("--freq_rand", type=int, default=0,
+                            help="Whether randomly initialize parameters in frequency domain.")
+        return KGReader.parse_data_args(parser)
+
+    @staticmethod
+    def dft(x, n_dft=-1) -> np.ndarray:
+        if n_dft <= 0:
+            n_dft = 2 ** (int(np.log2(len(x))) + 1)
+        freq_x = np.fft.fft(x, n_dft)
+        return 2 * freq_x[: n_dft // 2 + 1]  # fold negative frequencies
+
+    @staticmethod
+    def norm_time(a, t_scalar: int) -> np.ndarray:
+        norm_t = np.log2(np.asarray(a) / t_scalar + 1e-6)
+        return np.maximum(norm_t, 0)
+
+    def __init__(self, args):
+        super().__init__(args)
+        self.t_scalar = args.t_scalar
+        self.n_dft = args.n_dft
+        self.freq_rand = args.freq_rand
+        self.regenerate = getattr(args, "regenerate", 0)
+        self.interval_file = os.path.join(self.prefix, self.dataset, "interval.pkl")
+        self.freq_x = np.empty((self.n_relations, self.n_dft // 2 + 1), dtype=complex)
+        if not self.freq_rand:
+            self._time_interval_cnt()
+            self._cal_freq_x()
+
+    def _time_interval_cnt(self):
+        import pickle
+
+        if os.path.exists(self.interval_file) and not self.regenerate:
+            with open(self.interval_file, "rb") as f:
+                self.interval_dict = pickle.load(f)
+            return
+
+        logging.info("Counting relational time intervals...")
+        self.interval_dict = {"virtual": []}
+        for relation_type in self.relations:
+            self.interval_dict[relation_type] = []
+
+        merge_df = pd.merge(self.all_df, self.item_meta_df, how="left", on="item_id")
+        from rechorus_tpu.ops.kg import pack_keys
+
+        keys = np.sort(np.unique(pack_keys(
+            self.relation_df["head"], self.relation_df["relation"], self.relation_df["tail"],
+            self.n_relations, self.n_entities)))
+        for user, user_df in merge_df.groupby("user_id"):
+            times = user_df["time"].to_numpy()
+            iids = user_df["item_id"].to_numpy()
+            # virtual adjacent-interaction relation
+            delta = times[1:] - times[:-1]
+            self.interval_dict["virtual"].extend(delta[delta > 0].tolist())
+            # attribute-sharing relations
+            for attr in self.attr_relations:
+                for val, df in user_df.groupby(attr):
+                    d = df["time"].to_numpy()
+                    d = d[1:] - d[:-1]
+                    self.interval_dict[attr].extend(d[d > 0].tolist())
+            # natural item relations: nearest related predecessor per target
+            L = len(iids)
+            if L < 2 or not len(keys):
+                continue
+            s_idx, t_idx = np.tril_indices(L, k=-1)  # source earlier than target
+            # tril gives (row=target, col=source)
+            tgt, src = s_idx, t_idx
+            dt = times[tgt] - times[src]
+            for r_idx, relation in enumerate(self.item_relations):
+                q = pack_keys(iids[src], np.full(len(src), r_idx + 1), iids[tgt],
+                              self.n_relations, self.n_entities)
+                pos = np.searchsorted(keys, q)
+                member = keys[np.clip(pos, 0, len(keys) - 1)] == q
+                ok = member & (dt > 0)
+                if not ok.any():
+                    continue
+                # nearest predecessor = max src index per target
+                best = {}
+                for k in np.flatnonzero(ok):
+                    t0 = tgt[k]
+                    if t0 not in best or src[k] > src[best[t0]]:
+                        best[t0] = k
+                self.interval_dict[relation].extend(int(dt[k]) for k in best.values())
+
+        try:
+            import pickle
+
+            with open(self.interval_file, "wb") as f:
+                pickle.dump(self.interval_dict, f)
+        except OSError:
+            logging.warning("Could not cache interval.pkl (read-only data dir?)")
+
+    def _cal_freq_x(self):
+        distributions = []
+        for col in ["virtual"] + self.relations:
+            lst = self.interval_dict[col]
+            if not len(lst):  # degenerate relation: flat distribution
+                distributions.append(np.ones(2))
+                continue
+            intervals = self.norm_time(lst, self.t_scalar)
+            bin_num = int(max(intervals)) + 1
+            ns = np.zeros(bin_num)
+            for inter in intervals:
+                ns[int(inter)] += 1
+            distributions.append(ns / max(ns))
+            min_dft = 2 ** (int(np.log2(bin_num) + 1))
+            if self.n_dft < min_dft:
+                self.n_dft = min_dft
+        self.freq_x = np.empty((self.n_relations, self.n_dft // 2 + 1), dtype=complex)
+        for i, dist in enumerate(distributions):
+            self.freq_x[i] = self.dft(dist, self.n_dft)
+        del self.interval_dict
+
+    def item_value_matrix(self) -> np.ndarray:
+        """[n_items, n_relations] value-entity ids per item: 0 for the
+        virtual + natural item relations, attribute entity id for attr
+        relations (reference KDA.Dataset item_val_dict)."""
+        R = self.n_relations
+        out = np.zeros((self.n_items, R), dtype=np.int32)
+        meta = self.item_meta_df
+        for idx, r in enumerate(self.attr_relations):
+            base = self.n_items + int(np.sum(self.attr_max[:idx]))
+            col = len(self.item_relations) + 1 + idx
+            out[meta["item_id"].to_numpy(), col] = meta[r].to_numpy().astype(np.int32) + base
+        return out
+
+    def share_attr_matrix(self):
+        """Padded [n_attr_entities, max_share] matrix of items sharing each
+        attribute entity (rows indexed by entity_id - n_items), + lengths."""
+        n_attr = self.n_entities - self.n_items
+        if n_attr <= 0:
+            return np.zeros((1, 1), dtype=np.int32), np.ones(1, dtype=np.int32)
+        max_share = max((len(v) for v in self.share_attr_dict.values()), default=1)
+        mat = np.zeros((n_attr, max_share), dtype=np.int32)
+        lens = np.ones(n_attr, dtype=np.int32)
+        for ent, items in self.share_attr_dict.items():
+            row = ent - self.n_items
+            mat[row, : len(items)] = items
+            lens[row] = len(items)
+        return mat, lens

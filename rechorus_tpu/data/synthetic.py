@@ -168,3 +168,34 @@ def make_impression_dataset(
     dev.to_csv(os.path.join(path, "dev.csv"), sep="\t", index=False)
     test.to_csv(os.path.join(path, "test.csv"), sep="\t", index=False)
     return {"n_users": n_users, "n_items": n_items}
+
+
+def make_kg_dataset(
+    path: str,
+    n_users: int = 200,
+    n_items: int = 100,
+    n_per_user: int = 12,
+    n_neg: int = 19,
+    n_groups: int = 4,
+    seed: int = 3,
+):
+    """Top-k dataset + item_meta.csv with r_complement / r_substitute list
+    columns (same-group items related) and an i_category_c attribute, in
+    the reference's KG conventions (data/README.md + KGReader contract)."""
+    stats = make_topk_dataset(path, n_users, n_items, n_per_user, n_neg, n_groups, seed)
+    rng = np.random.default_rng(seed + 100)
+    items = np.arange(1, n_items + 1)
+    comp, subst = [], []
+    for it in items:
+        g = it % n_groups
+        same = items[(items % n_groups == g) & (items != it)]
+        comp.append(sorted(map(int, rng.choice(same, size=min(3, len(same)), replace=False))))
+        subst.append(sorted(map(int, rng.choice(same, size=min(2, len(same)), replace=False))))
+    item_meta = pd.DataFrame({
+        "item_id": items,
+        "r_complement": [str(x) for x in comp],
+        "r_substitute": [str(x) for x in subst],
+        "i_category_c": [int(i % n_groups) + 1 for i in items],
+    })
+    item_meta.to_csv(os.path.join(path, "item_meta.csv"), sep="\t", index=False)
+    return stats

@@ -1,1 +1,1 @@
-from rechorus_tpu.models.general import bprmf, buir, directau, lightgcn, neumf, pop  # noqa: F401
+from rechorus_tpu.models.general import bprmf, buir, cfkg, directau, lightgcn, neumf, pop  # noqa: F401

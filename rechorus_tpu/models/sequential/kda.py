@@ -1,0 +1,180 @@
+"""KDA -- Knowledge-aware Dynamic Attention (temporal evolution of item
+relations, frequency-domain decay).
+
+Reference behavior: src/models/sequential/KDA.py (Wang et al., TOIS'21):
+1) Relational dynamic history aggregation: per relation r, attention of
+   relation-translated candidate embeddings over the history, modulated by
+   a learnable inverse-DFT temporal decay initialized from the corpus's
+   relational interval-distribution DFT (RelationalDynamicAggregation,
+   KDA.py:266-303; init copy 69-73).
+2) Multi-layer self-attention over the relation axis + FFN (110-135).
+3) Pooling (average/max/attention) -> his_vector; prediction =
+   dot(u + his_vector, candidate entity emb) + item bias (137-160).
+4) Joint loss = rec BPR + gamma * DistMult KG BPR (162-191).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, ClassVar
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rechorus_tpu.models.base import SequentialModel
+from rechorus_tpu.ops import losses
+from rechorus_tpu.ops.layers import MultiHeadAttention, NORMAL_INIT, dense
+from rechorus_tpu.registry import register_model
+
+
+@register_model("KDA")
+class KDA(SequentialModel):
+    reader: ClassVar[str] = "KDAReader"
+    batcher: ClassVar[str] = "kda"
+    extra_log_args: ClassVar[list] = ["num_layers", "num_heads", "gamma", "freq_rand", "include_val"]
+
+    emb_size: int = 64
+    neg_head_p: float = 0.5
+    num_layers: int = 1
+    num_heads: int = 1
+    gamma: float = -1.0
+    attention_size: int = 10
+    pooling: str = "average"
+    include_val: int = 1
+    t_scalar: int = 60
+    freq_rand: int = 0
+    freq_dim: int = 33
+    relation_num: int = 1
+    entity_num: int = 0
+    freq_factory: Any = None  # lambda -> (real [R,F], imag [R,F]) numpy
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--emb_size", type=int, default=64, help="Size of embedding vectors.")
+        parser.add_argument("--neg_head_p", type=float, default=0.5,
+                            help="The probability of sampling negative head entity.")
+        parser.add_argument("--num_layers", type=int, default=1, help="Number of self-attention layers.")
+        parser.add_argument("--num_heads", type=int, default=1, help="Number of attention heads.")
+        parser.add_argument("--gamma", type=float, default=-1,
+                            help="Coefficient of KG loss (-1 for auto-determine).")
+        parser.add_argument("--attention_size", type=int, default=10,
+                            help="Size of attention hidden space.")
+        parser.add_argument("--pooling", type=str, default="average",
+                            help="Method of pooling relational history embeddings: average, max, attention")
+        parser.add_argument("--include_val", type=int, default=1,
+                            help="Whether include relation value in the relation representation")
+        return SequentialModel.parse_model_args(parser)
+
+    @classmethod
+    def corpus_kwargs(cls, args, corpus):
+        kw = super().corpus_kwargs(args, corpus)
+        kw["relation_num"] = corpus.n_relations
+        kw["entity_num"] = corpus.n_entities
+        kw["t_scalar"] = corpus.t_scalar
+        kw["freq_dim"] = corpus.n_dft // 2 + 1
+        kw["freq_rand"] = corpus.freq_rand
+        if args.gamma < 0:
+            kw["gamma"] = len(corpus.relation_df) / len(corpus.all_df)
+        if not corpus.freq_rand:
+            real = np.real(corpus.freq_x).astype(np.float32)
+            imag = np.imag(corpus.freq_x).astype(np.float32)
+            kw["freq_factory"] = (lambda real=real, imag=imag: (real, imag))
+        return kw
+
+    # ------------------------------------------------------------------
+    def _freq_init(self, which: int):
+        if self.freq_factory is None:
+            return NORMAL_INIT
+        return lambda key, shape, dtype=jnp.float32: jnp.asarray(self.freq_factory()[which])
+
+    def _idft_decay(self, freq_real, freq_imag, delta_t):
+        """Learnable temporal decay per relation via inverse DFT with
+        conjugate symmetry (reference RelationalDynamicAggregation.
+        idft_decay, KDA.py:276-286). delta_t [B, H] -> [B, H, R]."""
+        F = self.freq_dim
+        freq = jnp.linspace(0.0, 1.0, F) / 2.0
+        freqs = jnp.concatenate([freq, -freq])  # [2F]
+        x_real = jnp.concatenate([freq_real, freq_real], axis=-1)  # [R, 2F]
+        x_imag = jnp.concatenate([freq_imag, -freq_imag], axis=-1)
+        w = 2.0 * math.pi * freqs * delta_t[..., None]  # [B, H, 2F]
+        real_part = jnp.cos(w)[:, :, None, :] * x_real[None, None, :, :]
+        imag_part = jnp.sin(w)[:, :, None, :] * x_imag[None, None, :, :]
+        return (real_part - imag_part).mean(axis=-1) / 2.0  # [B, H, R]
+
+    @nn.compact
+    def __call__(self, feed, training: bool = False):
+        R, d = self.relation_num, self.emb_size
+        user_emb = self.param("user_embeddings", NORMAL_INIT, (self.user_num, d))
+        entity_emb = self.param("entity_embeddings", NORMAL_INIT, (self.entity_num, d))
+        relation_emb = self.param("relation_embeddings", NORMAL_INIT, (R, d))
+        freq_real = self.param("freq_real", self._freq_init(0), (R, self.freq_dim))
+        freq_imag = self.param("freq_imag", self._freq_init(1), (R, self.freq_dim))
+        item_bias = self.param("item_bias", NORMAL_INIT, (self.item_num, 1))
+
+        u_ids, i_ids = feed["user_id"], feed["item_id"]
+        history = feed["history_items"]  # [B, H]
+        delta_t_n = feed["history_delta_t"]  # [B, H]
+        B, H = history.shape
+
+        u_vectors = user_emb[u_ids]  # [B, d]
+        i_vectors = entity_emb[i_ids]  # [B, C, d]
+        v_vectors = entity_emb[feed["item_val"]]  # [B, C, R, d]
+        his_vectors = entity_emb[history]  # [B, H, d]
+
+        # --- relational dynamic history aggregation (KDA.py:288-303) ---
+        if self.include_val:
+            rv = relation_emb[None, None, :, :] + v_vectors
+            ri_vectors = rv * i_vectors[:, :, None, :]  # [B, C, R, d]
+        else:
+            ri_vectors = relation_emb[None, None, :, :] * i_vectors[:, :, None, :]
+        attention = jnp.einsum("bhd,bcrd->bchr", his_vectors, ri_vectors)
+        valid = (history > 0)[:, None, :, None]  # [B, 1, H, 1]
+        attention = losses.masked_softmax(attention, jnp.broadcast_to(valid, attention.shape), axis=2)
+        decay = jnp.clip(self._idft_decay(freq_real, freq_imag, delta_t_n), 0.0, 1.0)
+        decay = jnp.where(valid[:, 0, :, :], decay, 0.0)[:, None, :, :]  # [B, 1, H, R]
+        attention = attention * decay
+        context = jnp.einsum("bhd,bchr->bcrd", his_vectors, attention)  # [B, C, R, d]
+
+        # --- multi-layer self-attention over the relation axis ---
+        for k in range(self.num_layers):
+            residual = context
+            context = MultiHeadAttention(d, self.num_heads, use_bias=False,
+                                         name=f"attn_{k}")(context, context, context)
+            context = dense(d, name=f"w1_{k}")(context)
+            context = dense(d, name=f"w2_{k}")(nn.relu(context))
+            context = nn.Dropout(self.dropout, deterministic=not training)(context)
+            context = nn.LayerNorm(name=f"ln_{k}")(residual + context)
+
+        # --- pooling over relations ---
+        if self.pooling == "attention":
+            query = context * u_vectors[:, None, None, :]
+            att = dense(1, use_bias=False, name="A_out")(
+                jnp.tanh(dense(self.attention_size, name="A")(query)))[..., 0]
+            att = jax.nn.softmax(att - jax.lax.stop_gradient(att.max()), axis=-1)
+            his_vector = (context * att[:, :, :, None]).sum(-2)
+        elif self.pooling == "max":
+            his_vector = context.max(axis=-2)
+        else:
+            his_vector = context.mean(axis=-2)  # [B, C, d]
+
+        i_bias = item_bias[i_ids][..., 0]
+        prediction = ((u_vectors[:, None, :] + his_vector) * i_vectors).sum(-1) + i_bias
+        out = {"prediction": prediction}
+
+        if "head_id" in feed:  # joint KG batch (train)
+            head_v = entity_emb[feed["head_id"]]  # [B, 1+N, d]
+            tail_v = entity_emb[feed["tail_id"]]
+            value_v = entity_emb[feed["value_id"]]  # [B, d]
+            relation_v = relation_emb[feed["relation_id"]]  # [B, d]
+            if self.include_val:
+                rel = (relation_v + value_v)[:, None, :]
+            else:
+                rel = relation_v[:, None, :]
+            out["kg_prediction"] = (head_v * rel * tail_v).sum(-1)
+        return out
+
+    def loss(self, out_dict, feed):
+        rec_loss = losses.bpr_multi_neg(out_dict["prediction"])
+        kg_loss = losses.bpr_multi_neg(out_dict["kg_prediction"])
+        return rec_loss + self.gamma * kg_loss

@@ -1,0 +1,148 @@
+"""Knowledge-graph kernels: triplet membership, relational time intervals,
+and device-side KG negative sampling.
+
+The reference stores the KG as a python set of (head, relation, tail)
+tuples and probes it in per-row python loops (SLRCPlus.py:94-116,
+Chorus.Dataset:198-255, CFKG.Dataset actions_before_epoch). TPU-first:
+triplets are packed into ONE sorted int64 key array; membership is a
+vectorized searchsorted + equality check, fully jittable, so both the
+feed-time interval features and the rejection negative sampling run
+inside the compiled step.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_keys(heads, relations, tails, n_relations: int, n_entities: int):
+    """key = (h * R + r) * E + t, unique per triplet."""
+    h = np.asarray(heads, dtype=np.int64)
+    r = np.asarray(relations, dtype=np.int64)
+    t = np.asarray(tails, dtype=np.int64)
+    return (h * n_relations + r) * n_entities + t
+
+
+def sorted_triplet_keys(relation_df, n_relations: int, n_entities: int) -> np.ndarray:
+    keys = pack_keys(
+        relation_df["head"].to_numpy(),
+        relation_df["relation"].to_numpy(),
+        relation_df["tail"].to_numpy(),
+        n_relations,
+        n_entities,
+    )
+    # is_member computes query keys in int32 on device (jax x64 is off);
+    # guard the key space so the packed ordering survives the cast
+    max_key = (int(n_entities) * n_relations) * n_entities
+    if max_key >= 2 ** 31:
+        raise ValueError(
+            f"triplet key space {max_key} exceeds int32; enable jax x64 or "
+            "re-index entities before packing")
+    return np.sort(np.unique(keys)).astype(np.int32)
+
+
+def is_member(sorted_keys: jnp.ndarray, h, r, t, n_relations: int, n_entities: int):
+    """Vectorized membership of (h, r, t) in the packed triplet set.
+    h/r/t broadcastable int arrays -> bool array of the broadcast shape."""
+    q = (h.astype(jnp.int32) * n_relations + r.astype(jnp.int32)) * n_entities + t.astype(jnp.int32)
+    pos = jnp.searchsorted(sorted_keys, q)
+    pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
+    return sorted_keys[pos] == q
+
+
+def relational_intervals(
+    history_items: jnp.ndarray,   # [B, H] int
+    history_times: jnp.ndarray,   # [B, H] int
+    now: jnp.ndarray,             # [B] int (target row time)
+    item_ids: jnp.ndarray,        # [B, C] candidate items
+    sorted_keys: jnp.ndarray,     # packed triplets, sorted
+    n_relations: int,             # R (index 0 = virtual self-relation)
+    n_entities: int,
+    time_scalar: float,
+    include_repeat: bool,
+    query_relations: int | None = None,  # probe r in 1..query_relations-1
+                                         # (SLRC+/Chorus use item relations
+                                         # only even when attr relations
+                                         # are in the packed key set)
+) -> jnp.ndarray:
+    """[B, C, R] time since the MOST RECENT history interaction related to
+    each candidate under each relation; -1 where none exists.
+
+    Relation 0 is the re-consumption gap (history item == candidate) when
+    include_repeat (SLRC+, reference SLRCPlus.py:99-105); Chorus leaves it
+    at -1 (Chorus.py:231-239). Relations 1..R-1 probe the KG:
+    (history_item, r, candidate) in triplet_set.
+    """
+    B, H = history_items.shape
+    C = item_ids.shape[1]
+    R = query_relations if query_relations is not None else n_relations
+    valid = history_items > 0  # [B, H]
+
+    r_range = jnp.arange(1, R, dtype=jnp.int32)  # [R-1]
+    member = is_member(
+        sorted_keys,
+        history_items[:, None, :, None],          # [B, 1, H, 1]
+        r_range[None, None, None, :],              # [1, 1, 1, R-1]
+        item_ids[:, :, None, None],                # [B, C, 1, 1]
+        n_relations,
+        n_entities,
+    )  # [B, C, H, R-1]
+    member = member & valid[:, None, :, None]
+
+    if include_repeat:
+        rep = (history_items[:, None, :] == item_ids[:, :, None]) & valid[:, None, :]
+    else:
+        rep = jnp.zeros((B, C, H), dtype=bool)
+    member_all = jnp.concatenate([rep[:, :, :, None], member], axis=-1)  # [B, C, H, R]
+
+    j = jnp.arange(H)
+    last = jnp.max(jnp.where(member_all, j[None, None, :, None] + 1, 0), axis=2) - 1  # [B,C,R]
+    ht = jnp.broadcast_to(history_times[:, None, :], (B, C, H))
+    t_at = jnp.take_along_axis(ht, jnp.maximum(last, 0), axis=2)  # [B, C, R]
+    interval = (now[:, None, None] - t_at).astype(jnp.float32) / time_scalar
+    return jnp.where(last >= 0, interval, -1.0)
+
+
+def sample_kg_negatives(
+    key: jax.Array,
+    heads: jnp.ndarray,      # [B] raw head ids
+    relations: jnp.ndarray,  # [B]
+    tails: jnp.ndarray,      # [B] raw tail ids
+    sorted_keys: jnp.ndarray,
+    n_relations: int,
+    n_entities: int,
+    hi_tail: int,
+    hi_head: int,
+    rounds: int = 8,
+):
+    """Corrupted (neg_head, neg_tail) avoiding existing triplets
+    (reference Chorus.Dataset.actions_before_epoch / CFKG relation>0 path):
+    neg_tail ~ U[1, hi_tail) with (h, r, neg_tail) not in KG;
+    neg_head ~ U[1, hi_head) with (neg_head, r, t) not in KG.
+    """
+    B = heads.shape[0]
+
+    def resample(key, lo, hi, bad_fn):
+        k0, key = jax.random.split(key)
+        cand = jax.random.randint(k0, (B,), lo, hi, dtype=jnp.int32)
+
+        def body(i, carry):
+            cand, key = carry
+            key, sub = jax.random.split(key)
+            fresh = jax.random.randint(sub, (B,), lo, hi, dtype=jnp.int32)
+            return jnp.where(bad_fn(cand), fresh, cand), key
+
+        cand, _ = jax.lax.fori_loop(0, rounds, body, (cand, key))
+        return cand
+
+    k1, k2 = jax.random.split(key)
+    neg_tails = resample(
+        k1, 1, hi_tail,
+        lambda c: is_member(sorted_keys, heads, relations, c, n_relations, n_entities),
+    )
+    neg_heads = resample(
+        k2, 1, hi_head,
+        lambda c: is_member(sorted_keys, c, relations, tails, n_relations, n_entities),
+    )
+    return neg_heads, neg_tails

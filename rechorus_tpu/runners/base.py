@@ -52,7 +52,7 @@ def _decay_mask(params):
     return flax.traverse_util.unflatten_dict(mask)
 
 
-def build_optimizer(name: str, lr: float, l2: float) -> optax.GradientTransformation:
+def build_optimizer(name: str, lr: float, l2: float, lr_scales=None) -> optax.GradientTransformation:
     name_l = name.lower()
     base = {
         "adam": optax.adam,
@@ -67,6 +67,14 @@ def build_optimizer(name: str, lr: float, l2: float) -> optax.GradientTransforma
     if l2 > 0 and name_l != "adamw":
         txs.append(optax.add_decayed_weights(l2, mask=_decay_mask))
     txs.append(base(lr))
+    if lr_scales is not None:
+        # per-group lr (reference customize_parameters optimize_dicts,
+        # e.g. Chorus scales pretrained KG tables by --lr_scale): multiply
+        # post-optimizer updates per param subtree
+        def update_fn(updates, state, params=None):
+            return jax.tree.map(lambda u, s: u * s, updates, lr_scales), state
+
+        txs.append(optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn))
     return optax.chain(*txs)
 
 
@@ -135,7 +143,8 @@ class BaseRunner:
         variables = model.init({"params": key, "dropout": key}, feed, training=batcher.phase == "train")
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
-        tx = build_optimizer(self.optimizer_name, self.learning_rate, self.l2)
+        scales = model.lr_scales(params) if hasattr(model, "lr_scales") else None
+        tx = build_optimizer(self.optimizer_name, self.learning_rate, self.l2, scales)
         opt_state = tx.init(params)
         self._tx = tx
         state = TrainState(params=params, extra_vars=extra, opt_state=opt_state, step=jnp.zeros((), jnp.int32))

@@ -1,0 +1,180 @@
+"""End-to-end: knowledge-aware family (KGReader, CFKG, SLRC+, Chorus 2-stage)."""
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from rechorus_tpu import registry
+from rechorus_tpu.data.batching import get_batcher
+from rechorus_tpu.data.synthetic import make_kg_dataset
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_kg_dataset(str(root / "SynthKG"))
+    reader_cls = registry.get_reader("KGReader")
+    args = argparse.Namespace(path=str(root), dataset="SynthKG", sep="\t", include_attr=0)
+    return reader_cls(args)
+
+
+@pytest.fixture(scope="module")
+def corpus_attr(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data_attr")
+    make_kg_dataset(str(root / "SynthKG"))
+    reader_cls = registry.get_reader("KGReader")
+    args = argparse.Namespace(path=str(root), dataset="SynthKG", sep="\t", include_attr=1)
+    return reader_cls(args)
+
+
+def make_args(**over):
+    base = dict(
+        epoch=6, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-2, l2=0.0,
+        batch_size=128, eval_batch_size=128, optimizer="Adam", num_workers=0,
+        pin_memory=0, topk="5,10", metric="NDCG,HR", main_metric="",
+        model_path="", random_seed=42, dataset="SynthKG",
+        num_neg=1, dropout=0.0, test_all=0, emb_size=16, buffer=1, history_max=10,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def run_model(corpus, name, args):
+    model_cls = registry.get_model(name)
+    model = model_cls.from_args(args, corpus)
+    runner = registry.get_runner(model_cls.runner)(args)
+    batchers = {p: get_batcher(model_cls.batcher)(corpus, model, p, args) for p in ["train", "dev", "test"]}
+    arrays = {p: b.device_arrays() for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], args.random_seed)
+    before = runner.evaluate(state, model, batchers["test"], arrays["test"], "test", [5], ["HR", "NDCG"])
+    state = runner.train(model, batchers, state)
+    after = runner.evaluate(state, model, batchers["test"], arrays["test"], "test", [5], ["HR", "NDCG"])
+    return before, after, state, runner
+
+
+def test_kg_reader(corpus):
+    assert corpus.n_relations == 3  # complement, substitute + virtual 0
+    assert corpus.item_relations == ["r_complement", "r_substitute"]
+    assert len(corpus.triplet_set) > 0
+    h, r, t = next(iter(corpus.triplet_set))
+    assert 1 <= r < corpus.n_relations
+    keys = corpus.sorted_triplet_keys()
+    assert (np.diff(keys) > 0).all()
+
+
+def test_kg_reader_attr(corpus_attr):
+    # + i_category_c attribute relation; attribute entities offset past items
+    assert corpus_attr.n_relations == 4
+    assert corpus_attr.n_entities > corpus_attr.n_items
+
+
+def test_relational_intervals_match_reference_semantics(corpus):
+    """Golden-check the searchsorted kernel against a python set probe
+    (the reference's per-row loops, SLRCPlus.py:94-116)."""
+    import jax.numpy as jnp
+
+    from rechorus_tpu.ops import kg as kg_ops
+
+    rng = np.random.default_rng(0)
+    B, H, C = 8, 6, 4
+    R = corpus.n_relations
+    hist = rng.integers(0, corpus.n_items, size=(B, H)).astype(np.int32)
+    hist[:, -2:] = 0  # padding
+    times = np.sort(rng.integers(1, 1000, size=(B, H))).astype(np.int64) * (hist > 0)
+    now = np.full((B,), 2000, dtype=np.int64)
+    cands = rng.integers(1, corpus.n_items, size=(B, C)).astype(np.int32)
+
+    got = np.asarray(kg_ops.relational_intervals(
+        jnp.asarray(hist), jnp.asarray(times), jnp.asarray(now), jnp.asarray(cands),
+        jnp.asarray(corpus.sorted_triplet_keys()), corpus.n_relations,
+        corpus.n_entities, 10.0, include_repeat=True))
+
+    for b in range(B):
+        for c in range(C):
+            expect = -np.ones(R)
+            for j in range(H - 1, -1, -1):
+                if hist[b, j] == cands[b, c] and hist[b, j] > 0:
+                    expect[0] = (now[b] - times[b, j]) / 10.0
+                    break
+            for r in range(1, R):
+                for j in range(H - 1, -1, -1):
+                    if hist[b, j] > 0 and (hist[b, j], r, cands[b, c]) in corpus.triplet_set:
+                        expect[r] = (now[b] - times[b, j]) / 10.0
+                        break
+            np.testing.assert_allclose(got[b, c], expect, rtol=1e-5)
+
+
+def test_cfkg_learns(corpus_attr):
+    args = make_args(margin=1.0, epoch=10, lr=5e-3, include_attr=1)
+    before, after, _, _ = run_model(corpus_attr, "CFKG", args)
+    assert np.isfinite(after["HR@5"])
+    assert after["HR@5"] > before["HR@5"]
+
+
+def test_slrcplus_learns(corpus):
+    args = make_args(time_scalar=86400 * 10, epoch=6)
+    before, after, _, _ = run_model(corpus, "SLRCPlus", args)
+    assert after["HR@5"] > before["HR@5"]
+    assert after["HR@5"] > 0.4
+
+
+def test_chorus_two_stage(corpus, tmp_path):
+    # stage 1: KG pretrain, checkpointed every epoch to pretrain_path
+    args1 = make_args(stage=1, margin=1.0, epoch=3, lr=5e-3, base_method="BPR",
+                      category_col="i_category_c", lr_scale=0.1,
+                      time_scalar=86400 * 10,
+                      model_path=str(tmp_path / "Chorus" / "x.bin"))
+    _, _, state1, _ = run_model(corpus, "Chorus", args1)
+    model_cls = registry.get_model("Chorus")
+    model1 = model_cls.from_args(args1, corpus)
+    assert os.path.exists(model1.pretrain_path)
+
+    # stage 2: loads pretrain, trains recommendation
+    args2 = make_args(stage=2, margin=1.0, epoch=5, lr=1e-2, base_method="BPR",
+                      category_col="i_category_c", lr_scale=0.1,
+                      time_scalar=86400 * 10,
+                      model_path=str(tmp_path / "Chorus" / "x.bin"))
+    before, after, _, _ = run_model(corpus, "Chorus", args2)
+    assert np.isfinite(after["HR@5"])
+    assert after["HR@5"] > before["HR@5"]
+
+
+def test_chorus_stage2_requires_pretrain(corpus, tmp_path):
+    args = make_args(stage=2, margin=1.0, epoch=1, category_col="i_category_c",
+                     time_scalar=86400 * 10, lr_scale=0.1, base_method="BPR",
+                     model_path=str(tmp_path / "nowhere" / "x.bin"))
+    with pytest.raises(ValueError, match="stage 1"):
+        run_model(corpus, "Chorus", args)
+
+
+@pytest.fixture(scope="module")
+def kda_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data_kda")
+    make_kg_dataset(str(root / "SynthKG"))
+    reader_cls = registry.get_reader("KDAReader")
+    args = argparse.Namespace(path=str(root), dataset="SynthKG", sep="\t",
+                              include_attr=1, t_scalar=60, n_dft=32, freq_rand=0,
+                              regenerate=0)
+    return reader_cls(args)
+
+
+def test_kda_reader_freq(kda_corpus):
+    # complex freq_x per relation; DC bin = 2*sum(distribution) > 0
+    assert kda_corpus.freq_x.shape == (kda_corpus.n_relations, kda_corpus.n_dft // 2 + 1)
+    assert np.isfinite(kda_corpus.freq_x).all()
+    assert (np.real(kda_corpus.freq_x[:, 0]) > 0).all()
+    iv = kda_corpus.item_value_matrix()
+    assert iv.shape == (kda_corpus.n_items, kda_corpus.n_relations)
+    assert (iv[:, :3] == 0).all()  # virtual + item relations carry no value
+    assert iv[1:, 3].min() >= kda_corpus.n_items  # attr entities offset past items
+
+
+def test_kda_learns(kda_corpus):
+    args = make_args(epoch=6, lr=5e-3, num_layers=1, num_heads=2, gamma=-1,
+                     attention_size=8, pooling="average", include_val=1,
+                     neg_head_p=0.5, include_attr=1, t_scalar=60, n_dft=32,
+                     freq_rand=0, regenerate=0)
+    before, after, _, _ = run_model(kda_corpus, "KDA", args)
+    assert np.isfinite(after["HR@5"])
+    assert after["HR@5"] > before["HR@5"]

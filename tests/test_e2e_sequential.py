@@ -50,6 +50,7 @@ def run_model(corpus, name, args):
         ("Caser", dict(num_horizon=8, num_vertical=4, L=3)),
         ("NARM", dict(hidden_size=32, attention_size=16)),
         ("ComiRec", dict(attn_size=8, K=2, add_pos=1)),
+        ("TiSASRec", dict(num_layers=1, num_heads=2, time_max=64)),
     ],
 )
 def test_sequential_models_learn(corpus, name, extra):
@@ -69,3 +70,31 @@ def test_history_arrays_match_user_his(corpus):
         expected = [x[0] for x in corpus.user_his[u][:p][-8:]]
         got = list(his_items[r][: lengths[r]])
         assert got == expected
+
+
+def test_contrarec_learns(corpus):
+    args = make_args(epoch=5, lr=5e-3, gamma=1.0, beta_a=3, beta_b=3,
+                     ctc_temp=1.0, ccc_temp=0.2, encoder="BERT4Rec", batch_size=256)
+    res = run_model(corpus, "ContraRec", args)
+    assert np.isfinite(res["HR@5"])
+    assert res["HR@5"] > 0.35
+
+
+def test_contrarec_gru_encoder(corpus):
+    args = make_args(epoch=2, lr=5e-3, gamma=1.0, beta_a=3, beta_b=3,
+                     ctc_temp=1.0, ccc_temp=0.2, encoder="GRU4Rec")
+    res = run_model(corpus, "ContraRec", args)
+    assert np.isfinite(res["HR@5"])
+
+
+def test_timirec_two_stage(corpus, tmp_path):
+    common = dict(attn_size=8, K=2, add_pos=1, add_trm=1, temp=1.0, n_layers=1, dataset="Synth",
+                  model_path=str(tmp_path / "TiMiRec" / "x.bin"), epoch=4, lr=5e-3)
+    res1 = run_model(corpus, "TiMiRec", make_args(stage="pretrain", **common))
+    assert np.isfinite(res1["HR@5"])
+    import os
+    files = os.listdir(tmp_path / "TiMiRec")
+    assert any(f.startswith("Extractor__") for f in files)
+    res2 = run_model(corpus, "TiMiRec", make_args(stage="finetune", **common))
+    assert np.isfinite(res2["HR@5"])
+    assert res2["HR@5"] > 0.35

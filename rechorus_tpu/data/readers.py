@@ -690,3 +690,50 @@ class KDAReader(KGReader):
             mat[row, : len(items)] = items
             lens[row] = len(items)
         return mat, lens
+
+
+class ImpressionContextReader(ImpressionReader, ContextReader):
+    """Impression data + context metadata (multiple inheritance,
+    reference src/helpers/ImpressionContextReader.py:14-52). The reference
+    exposes the dynamic-context flag as --include_context_features; it
+    maps onto the situation-feature machinery.
+    """
+
+    @staticmethod
+    def parse_data_args(parser):
+        parser.add_argument("--include_item_features", type=int, default=0,
+                            help="Whether include item context features.")
+        parser.add_argument("--include_user_features", type=int, default=0,
+                            help="Whether include user context features.")
+        parser.add_argument("--include_context_features", type=int, default=0,
+                            help="Whether include dynamic context features.")
+        parser.add_argument("--impression_idkey", type=str, default="time",
+                            help="The key for impression identification, [time, impression_id]")
+        return BaseReader.parse_data_args(parser)
+
+    def __init__(self, args):
+        self.impression_idkey = args.impression_idkey
+        # BaseReader ctor logic (clicked sets) with ImpressionReader's
+        # _read_data override, then the context machinery:
+        self.sep = args.sep
+        self.prefix = args.path
+        self.dataset = args.dataset
+        self._read_data()
+        self.train_clicked_set = {}
+        self.residual_clicked_set = {}
+        for key in ["train", "dev", "test"]:
+            df = self.data_df[key]
+            for uid, iid in zip(df["user_id"], df["item_id"]):
+                if uid not in self.train_clicked_set:
+                    self.train_clicked_set[uid] = set()
+                    self.residual_clicked_set[uid] = set()
+                if key == "train":
+                    self.train_clicked_set[uid].add(iid)
+                else:
+                    self.residual_clicked_set[uid].add(iid)
+        self.include_item_features = args.include_item_features
+        self.include_user_features = args.include_user_features
+        self.include_situation_features = args.include_context_features
+        self._load_ui_metadata()
+        self._collect_context()
+        self._append_impression_info()

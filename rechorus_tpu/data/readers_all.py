@@ -2,7 +2,7 @@
 no registry dependency and can be unit-tested standalone)."""
 from rechorus_tpu import registry
 from rechorus_tpu.data.readers import (BaseReader, ContextReader, ContextSeqReader,
-    ImpressionReader, ImpressionSeqReader, KDAReader, KGReader, SeqReader)
+    ImpressionContextReader, ImpressionReader, ImpressionSeqReader, KDAReader, KGReader, SeqReader)
 
 registry.register_reader("BaseReader")(BaseReader)
 registry.register_reader("SeqReader")(SeqReader)
@@ -12,3 +12,4 @@ registry.register_reader("ContextReader")(ContextReader)
 registry.register_reader("ContextSeqReader")(ContextSeqReader)
 registry.register_reader("ImpressionReader")(ImpressionReader)
 registry.register_reader("ImpressionSeqReader")(ImpressionSeqReader)
+registry.register_reader("ImpressionContextReader")(ImpressionContextReader)

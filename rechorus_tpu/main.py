@@ -61,21 +61,57 @@ def build_corpus(args, reader_cls):
 
 
 def save_rec_results(args, corpus, model, runner, state, batchers, arrays, topk: int = 100):
-    """Export top-k predictions per eval row (reference main.py:98-153).
-
-    For the base ranking task we export the candidate ranking; full
-    task-mode variants (CTR probabilities, impression lists) are handled
-    by their runners.
+    """Per-task prediction export (reference main.py:96-153):
+    CTR -> (user_id, item_id, pCTR, label); top-k -> (user_id, rec_items,
+    rec_predictions) with the top-100 candidates; impression/rerank ->
+    (user_id, pos_items, pos_predictions, neg_items, neg_predictions).
+    NB: the reference's neg_predictions slice takes the FIRST neg_len
+    columns (main.py:141 `predictions[i][:dataset.neg_len]`) -- we take
+    the actual negative block [pos_len : pos_len+neg_len].
     """
-    result_path = os.path.join(args.path, args.dataset, "rec-{}-{}.csv".format(model.registered_name, "test"))
-    utils.check_dir(result_path)
-    logging.info("Saving top-{} recommendation results to: {}".format(topk, result_path))
-    ranks = runner.predict_ranks(state, model, batchers["test"], arrays["test"], "test")
     import pandas as pd
 
-    df = corpus.data_df["test"].copy()
-    out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "gt_rank": ranks})
+    from rechorus_tpu.runners.ctr import CTRRunner
+    from rechorus_tpu.runners.impression import ImpressionRunner
+
+    result_path = os.path.join(args.path, args.dataset, "rec-{}-{}.csv".format(model.registered_name, "test"))
+    utils.check_dir(result_path)
+    batcher, arr = batchers["test"], arrays["test"]
+    df = corpus.data_df["test"]
+
+    if isinstance(runner, CTRRunner):
+        logging.info("Saving CTR prediction results to: {}".format(result_path))
+        predictions, labels = runner.predict(state, model, batcher, arr, "test")
+        src = getattr(batcher, "_df", df)
+        out = pd.DataFrame({
+            "user_id": src["user_id"].to_numpy(),
+            "item_id": src["item_id"].to_numpy(),
+            "pCTR": predictions,
+            "label": labels,
+        })
+    elif isinstance(runner, ImpressionRunner):
+        logging.info("Saving all recommendation results to: {}".format(result_path))
+        preds, pos_num, neg_num = runner.predict(state, model, batcher, arr, "test")
+        P = batcher.pos_len
+        src = getattr(batcher, "_df", df)
+        out = pd.DataFrame({
+            "user_id": src["user_id"].to_numpy(),
+            "pos_items": [list(map(int, r)) for r in src["pos_items"]],
+            "pos_predictions": [list(np.round(r[:n], 4)) for r, n in zip(preds[:, :P], pos_num)],
+            "neg_items": [list(map(int, r)) for r in src["neg_items"]],
+            "neg_predictions": [list(np.round(r[:n], 4)) for r, n in zip(preds[:, P:], neg_num)],
+        })
+    else:
+        logging.info("Saving top-{} recommendation results to: {}".format(topk, result_path))
+        items, scores = runner.predict_topk(state, model, batcher, arr, "test", k=topk)
+        src = getattr(batcher, "_df", df)
+        out = pd.DataFrame({
+            "user_id": src["user_id"].to_numpy(),
+            "rec_items": [list(map(int, r)) for r in items],
+            "rec_predictions": [list(np.round(r, 4)) for r in scores],
+        })
     out.to_csv(result_path, sep=args.sep, index=False)
+    logging.info("test Prediction results saved!")
 
 
 def main(args, model_cls, reader_cls, runner_cls):

@@ -238,11 +238,11 @@ class BaseRunner:
             out = model.apply(variables, feed, training=False)
             pred = out["prediction"]
             if getattr(batcher, "test_all", False):
-                tscore = jnp.take_along_axis(pred, feed["_target"][:, None].astype(jnp.int32), axis=1)[:, 0]
-                B = pred.shape[0]
-                pred = pred.at[:, 0].set(-jnp.inf)
-                pred = pred.at[jnp.arange(B)[:, None], feed["_clicked_rows"]].set(-jnp.inf)
-                ranks = 1 + (pred >= tscore[:, None]).sum(axis=-1)
+                # scatter-free masked catalog ranking (pallas ge_count +
+                # gather corrections; see ops/pallas_kernels.py)
+                from rechorus_tpu.ops.pallas_kernels import catalog_ranks
+
+                ranks = catalog_ranks(pred, feed["_target"], feed["_clicked_rows"])
             else:
                 ranks = metrics_ops.gt_rank(pred)
             return variables, ranks
@@ -282,6 +282,42 @@ class BaseRunner:
         eval_fn = self._get_eval_fn(model, batcher, arrays, phase)
         ranks = np.asarray(eval_fn(state.params, state.extra_vars, idx_mat))
         return ranks[:n]  # drop wrap-around padding
+
+    def predict_topk(self, state, model, batcher, arrays, phase: str, k: int = 100):
+        """Top-k (item_ids, scores) per eval row, computed on device
+        (lax.top_k inside the eval scan) -- serves the top-100 prediction
+        export (reference main.py:116-130) including test_all full-catalog
+        ranking with clicked-item masking."""
+        cache_key = (phase, "topk", k)
+        if cache_key not in self._compiled:
+
+            def step(variables, idx):
+                feed = batcher.eval_feed(arrays, idx)
+                out = model.apply(variables, feed, training=False)
+                pred = out["prediction"]
+                if getattr(batcher, "test_all", False):
+                    B = pred.shape[0]
+                    pred = pred.at[:, 0].set(-jnp.inf)
+                    pred = pred.at[jnp.arange(B)[:, None], feed["_clicked_rows"]].set(-jnp.inf)
+                kk = min(k, pred.shape[1])
+                scores, cols = jax.lax.top_k(pred, kk)
+                if "item_id" in feed:
+                    items = jnp.take_along_axis(feed["item_id"], cols, axis=1)
+                else:  # entity-indexed feeds (CFKG): report candidate columns
+                    items = cols
+                return variables, (items, scores)
+
+            @jax.jit
+            def topk_fn(params, extra_vars, idx_mat):
+                variables = {"params": params, **extra_vars}
+                _, (items, scores) = jax.lax.scan(step, variables, idx_mat)
+                return items.reshape(-1, items.shape[-1]), scores.reshape(-1, scores.shape[-1])
+
+            self._compiled[cache_key] = topk_fn
+        n = len(batcher)
+        idx_mat = jnp.asarray(self._batch_index_matrix(n, self.eval_batch_size))
+        items, scores = self._compiled[cache_key](state.params, state.extra_vars, idx_mat)
+        return np.asarray(items)[:n], np.asarray(scores)[:n]
 
     def evaluate(self, state, model, batcher, arrays, phase, topks, metric_names) -> Dict[str, float]:
         ranks = self.predict_ranks(state, model, batcher, arrays, phase)

@@ -132,3 +132,46 @@ def test_directau_learns(corpus):
     before, after = run_model(corpus, "DirectAU", args)
     assert np.isfinite(after["HR@5"])
     assert after["HR@5"] > before["HR@5"]
+
+
+def test_save_rec_results_topk(corpus, tmp_path):
+    """Top-100 export: (user_id, rec_items, rec_predictions) CSV
+    (reference main.py:116-130)."""
+    import pandas as pd
+
+    from rechorus_tpu.main import save_rec_results
+
+    args = make_args(epoch=1)
+    args.path, args.dataset, args.sep = str(tmp_path), "Synth", "\t"
+    import os
+
+    os.makedirs(tmp_path / "Synth", exist_ok=True)
+    model_cls = registry.get_model("BPRMF")
+    model = model_cls.from_args(args, corpus)
+    runner = registry.get_runner(model_cls.runner)(args)
+    batchers = {p: get_batcher(model_cls.batcher)(corpus, model, p, args) for p in ["train", "dev", "test"]}
+    arrays = {p: b.device_arrays() for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], 0)
+    save_rec_results(args, corpus, model, runner, state, batchers, arrays, topk=10)
+    out = pd.read_csv(tmp_path / "Synth" / "rec-BPRMF-test.csv", sep="\t")
+    assert list(out.columns) == ["user_id", "rec_items", "rec_predictions"]
+    assert len(out) == len(batchers["test"])
+    first = eval(out["rec_items"].iloc[0])
+    assert len(first) == 10
+    # recommended items must come from the row's candidate list
+    cand = set([corpus.data_df["test"]["item_id"].iloc[0]]) | set(
+        corpus.data_df["test"]["neg_items"].iloc[0].tolist())
+    assert set(first) <= cand
+
+
+def test_exp_harness_parses_log_grammar():
+    from rechorus_tpu.exp import find_info
+
+    lines = [
+        "Best Iter(dev)=    5\t dev=(HR@5:0.3186,NDCG@5:0.2207) [138.5 s] ",
+        "Test After Training: (HR@5:0.3065,NDCG@5:0.2089)",
+    ]
+    info = find_info(lines)
+    assert info["Best Iter"] == "5"
+    assert info["Time"] == "138.5"
+    assert info["Test"] == "HR@5:0.3065,NDCG@5:0.2089"

@@ -73,3 +73,30 @@ def test_impression_reader_grouping(data_root):
     assert (df["pos_num"] > 0).all() and (df["neg_num"] > 0).all()
     # one request per (user, time)
     assert df.groupby(["user_id", "time"]).size().max() == 1
+
+
+def test_impression_context_reader(tmp_path):
+    """ImpressionContextReader: impression grouping + context metadata
+    (reference src/helpers/ImpressionContextReader.py)."""
+    import argparse
+
+    import pandas as pd
+
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.synthetic import make_impression_dataset
+
+    root = tmp_path / "d"
+    stats = make_impression_dataset(str(root / "SynthImp"))
+    n_items = stats["n_items"]
+    pd.DataFrame({
+        "item_id": range(1, n_items + 1),
+        "i_category_c": [i % 4 for i in range(1, n_items + 1)],
+    }).to_csv(root / "SynthImp" / "item_meta.csv", sep="\t", index=False)
+    args = argparse.Namespace(
+        path=str(root), dataset="SynthImp", sep="\t", impression_idkey="time",
+        include_item_features=1, include_user_features=0, include_context_features=0)
+    reader = registry.get_reader("ImpressionContextReader")(args)
+    assert len(reader.data_df["train"]) > 0
+    assert "pos_items" in reader.data_df["train"].columns
+    assert reader.feature_max["i_category_c"] == 4
+    assert reader.item_features is not None

@@ -102,19 +102,43 @@ class BaseReader:
             self._his_np = {u: np.asarray(h, dtype=np.int64) for u, h in self.user_his.items()}
         return self._his_np
 
+    def _history_flat(self):
+        """CSR-style flattened per-user histories for the native kernel."""
+        if not hasattr(self, "_his_flat"):
+            offsets = np.zeros(self.n_users + 1, dtype=np.int64)
+            for u in range(self.n_users):
+                offsets[u + 1] = offsets[u] + len(self.user_his.get(u, ()))
+            flat_i = np.zeros(int(offsets[-1]), dtype=np.int64)
+            flat_t = np.zeros(int(offsets[-1]), dtype=np.int64)
+            for u, h in self.user_his.items():
+                if len(h):
+                    a = np.asarray(h, dtype=np.int64).reshape(len(h), -1)
+                    flat_i[offsets[u]: offsets[u + 1]] = a[:, 0]
+                    flat_t[offsets[u]: offsets[u + 1]] = a[:, 1]
+            self._his_flat = (flat_i, flat_t, offsets)
+        return self._his_flat
+
     def history_arrays(self, df: pd.DataFrame, history_max: int):
         """Fixed-shape [n_rows, history_max] history items/times + lengths.
 
-        Vectorized equivalent of the reference's per-row feed-dict slicing
+        Equivalent of the reference's per-row feed-dict slicing
         (BaseModel.py:236-245): history = user_his[u][:position][-history_max:],
-        left-aligned, zero-padded.
+        left-aligned, zero-padded. Uses the C++ kernel
+        (native/corpus_ops.cpp) when a compiler is available; numpy
+        fallback otherwise.
         """
+        users = df["user_id"].to_numpy()
+        positions = df["position"].to_numpy()
+        from rechorus_tpu import native
+
+        if native.available():
+            flat_i, flat_t, offsets = self._history_flat()
+            return native.build_history_arrays(
+                users, positions, flat_i, flat_t, offsets, history_max)
         n = len(df)
         his_items = np.zeros((n, history_max), dtype=np.int32)
         his_times = np.zeros((n, history_max), dtype=np.int64)
         lengths = np.zeros((n,), dtype=np.int32)
-        users = df["user_id"].to_numpy()
-        positions = df["position"].to_numpy()
         his_np = self._history_views()
         for r in range(n):
             u, p = users[r], int(positions[r])
@@ -142,6 +166,17 @@ class BaseReader:
                 s = s | set(self.residual_clicked_set.get(u, ()))
             sets.append(s)
         max_len = max(1, max(len(s) for s in sets))
+        from rechorus_tpu import native
+
+        if native.available():
+            offsets = np.zeros(self.n_users + 1, dtype=np.int64)
+            for u, s in enumerate(sets):
+                offsets[u + 1] = offsets[u] + len(s)
+            flat = np.zeros(int(offsets[-1]), dtype=np.int64)
+            for u, s in enumerate(sets):
+                if s:
+                    flat[offsets[u]: offsets[u + 1]] = sorted(s)
+            return native.fill_clicked_matrix(flat, offsets, self.n_users, max_len)
         mat = np.zeros((self.n_users, max_len), dtype=np.int32)
         for u, s in enumerate(sets):
             if s:

@@ -98,6 +98,8 @@ class BaseRunner:
         parser.add_argument("--topk", type=str, default="5,10,20,50", help="The number of items recommended to each user.")
         parser.add_argument("--metric", type=str, default="NDCG,HR", help="metrics: NDCG, HR")
         parser.add_argument("--main_metric", type=str, default="", help="Main metric to determine the best model.")
+        parser.add_argument("--profile", type=str, default="",
+                            help="Directory for a jax.profiler trace of one training epoch.")
         return parser
 
     def __init__(self, args):
@@ -119,6 +121,7 @@ class BaseRunner:
         self.main_topk = int(self.main_metric.split("@")[1]) if "@" in self.main_metric else self.topk[0]
         self.model_path = getattr(args, "model_path", "")
         self.random_seed = getattr(args, "random_seed", 0)
+        self.profile_dir = getattr(args, "profile", "")
         self.time = None
         self._compiled = {}
 
@@ -336,14 +339,33 @@ class BaseRunner:
         main_metric_results, dev_results = list(), list()
         self._check_time(start=True)
         best_state = state
-        stop_reason = None
+        n_train = len(batchers["train"])
         for epoch in range(self.epoch):
             self._check_time()
-            state, loss = self.fit(state, model, batchers["train"], arrays["train"], epoch + 1, rng_key)
+            try:
+                if self.profile_dir and epoch == 1:  # epoch 2: post-compile steady state
+                    from jax import profiler as jax_profiler
+
+                    with jax_profiler.trace(self.profile_dir):
+                        state, loss = self.fit(state, model, batchers["train"], arrays["train"], epoch + 1, rng_key)
+                        jax.block_until_ready(state.params)
+                    logging.info("Saved profiler trace to %s", self.profile_dir)
+                else:
+                    state, loss = self.fit(state, model, batchers["train"], arrays["train"], epoch + 1, rng_key)
+            except KeyboardInterrupt:
+                # reference BaseRunner.py:161-166 asks interactively
+                logging.info("Early stop manually")
+                exit_here = input("Exit completely without evaluation? (y/n) (default n):")
+                if exit_here.lower().startswith("y"):
+                    logging.info(os.linesep + "-" * 45 + " END: " + utils.get_time() + " " + "-" * 45)
+                    raise SystemExit(1)
+                break
             if np.isnan(loss):
                 logging.info("Loss is Nan. Stop training at %d." % (epoch + 1))
                 break
             training_time = self._check_time()
+            if training_time > 0:
+                logging.debug("throughput: %.0f examples/s/chip", n_train / training_time)
 
             dev_result = self.evaluate(
                 state, model, batchers["dev"], arrays["dev"], "dev", [self.main_topk], self.metrics

@@ -98,3 +98,36 @@ def test_timirec_two_stage(corpus, tmp_path):
     res2 = run_model(corpus, "TiMiRec", make_args(stage="finetune", **common))
     assert np.isfinite(res2["HR@5"])
     assert res2["HR@5"] > 0.35
+
+
+def test_native_history_matches_numpy(corpus):
+    """C++ corpus kernel (native/corpus_ops.cpp) must reproduce the numpy
+    fallback bit-exactly."""
+    from rechorus_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native compiler")
+    df = corpus.data_df["train"]
+    flat_i, flat_t, offsets = corpus._history_flat()
+    got = native.build_history_arrays(
+        df["user_id"].to_numpy(), df["position"].to_numpy(), flat_i, flat_t, offsets, 8)
+    # numpy fallback path
+    his_np = corpus._history_views()
+    n = len(df)
+    exp_items = np.zeros((n, 8), dtype=np.int32)
+    exp_times = np.zeros((n, 8), dtype=np.int64)
+    exp_len = np.zeros((n,), dtype=np.int32)
+    users, positions = df["user_id"].to_numpy(), df["position"].to_numpy()
+    for r in range(n):
+        u, p = users[r], int(positions[r])
+        if p <= 0:
+            continue
+        h = his_np[u][max(0, p - 8): p]
+        exp_items[r, :len(h)] = h[:, 0]
+        exp_times[r, :len(h)] = h[:, 1]
+        exp_len[r] = len(h)
+    np.testing.assert_array_equal(got[0], exp_items)
+    np.testing.assert_array_equal(got[1], exp_times)
+    np.testing.assert_array_equal(got[2], exp_len)

@@ -366,6 +366,8 @@ class BaseRunner:
             training_time = self._check_time()
             if training_time > 0:
                 logging.debug("throughput: %.0f examples/s/chip", n_train / training_time)
+            if self.check_epoch > 0 and (epoch == 0 or (epoch + 1) % self.check_epoch == 0):
+                self.check(state)
 
             dev_result = self.evaluate(
                 state, model, batchers["dev"], arrays["dev"], "dev", [self.main_topk], self.metrics
@@ -404,6 +406,20 @@ class BaseRunner:
             )
         )
         return best_state
+
+    def check(self, state: TrainState):
+        """Tensor observation every --check_epoch epochs (reference
+        utils.check, utils/utils.py:37-44, logs the model's check_list;
+        here: per-top-level-param-group mean|value| -- drift/NaN watch)."""
+        import jax
+
+        lines = []
+        for name, sub in state.params.items():
+            leaves = jax.tree_util.tree_leaves(sub)
+            if leaves:
+                mean_abs = float(np.mean([float(jnp.abs(x).mean()) for x in leaves]))
+                lines.append("{:<20} mean|w|={:.4f}".format(name, mean_abs))
+        logging.info(os.linesep.join([os.linesep] + lines) + os.linesep)
 
     def eval_termination(self, criterion: List[float]) -> bool:
         if len(criterion) > self.early_stop and utils.non_increasing(criterion[-self.early_stop:]):

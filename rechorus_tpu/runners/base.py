@@ -100,6 +100,9 @@ class BaseRunner:
         parser.add_argument("--main_metric", type=str, default="", help="Main metric to determine the best model.")
         parser.add_argument("--profile", type=str, default="",
                             help="Directory for a jax.profiler trace of one training epoch.")
+        parser.add_argument("--scan_unroll", type=int, default=1,
+                            help="Unroll factor of the per-epoch training scan (amortizes "
+                                 "per-step sequencing overhead for small models).")
         return parser
 
     def __init__(self, args):
@@ -122,6 +125,7 @@ class BaseRunner:
         self.model_path = getattr(args, "model_path", "")
         self.random_seed = getattr(args, "random_seed", 0)
         self.profile_dir = getattr(args, "profile", "")
+        self.scan_unroll = max(1, getattr(args, "scan_unroll", 1))
         self.time = None
         self._compiled = {}
 
@@ -226,7 +230,7 @@ class BaseRunner:
         @partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(state: TrainState, perm: jnp.ndarray, epoch_key: jax.Array):
             keys = jax.random.split(epoch_key, perm.shape[0])
-            state, losses = jax.lax.scan(step_fn, state, (perm, keys))
+            state, losses = jax.lax.scan(step_fn, state, (perm, keys), unroll=self.scan_unroll)
             return state, losses.mean()
 
         self._compiled["train"] = epoch_fn

@@ -48,8 +48,11 @@ def build_corpus(args, reader_cls):
     corpus_path = os.path.join(args.path, args.dataset, reader_cls.__name__ + appendix + ".pkl")
     if not args.regenerate and os.path.exists(corpus_path):
         logging.info("Load corpus from {}".format(corpus_path))
-        with open(corpus_path, "rb") as f:
-            return pickle.load(f)
+        try:
+            with open(corpus_path, "rb") as f:
+                return pickle.load(f)
+        except Exception as e:  # stale/foreign cache -> rebuild
+            logging.warning("Corpus cache unusable (%s); regenerating", e)
     corpus = reader_cls(args)
     try:
         logging.info("Save corpus to {}".format(corpus_path))

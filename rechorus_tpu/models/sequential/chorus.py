@@ -35,6 +35,7 @@ class Chorus(SequentialModel):
     reader: ClassVar[str] = "KGReader"
     batcher: ClassVar[str] = "chorus"
     extra_log_args: ClassVar[list] = ["margin", "lr_scale", "stage"]
+    candidate_aligned_keys: ClassVar[tuple] = ("relational_interval", "category_id")
 
     emb_size: int = 64
     stage: int = 2

@@ -33,6 +33,7 @@ class KDA(SequentialModel):
     reader: ClassVar[str] = "KDAReader"
     batcher: ClassVar[str] = "kda"
     extra_log_args: ClassVar[list] = ["num_layers", "num_heads", "gamma", "freq_rand", "include_val"]
+    candidate_aligned_keys: ClassVar[tuple] = ("item_val",)
 
     emb_size: int = 64
     neg_head_p: float = 0.5

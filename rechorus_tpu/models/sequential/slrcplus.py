@@ -34,6 +34,7 @@ class SLRCPlus(SequentialModel):
     reader: ClassVar[str] = "KGReader"
     batcher: ClassVar[str] = "slrc"
     extra_log_args: ClassVar[list] = ["emb_size"]
+    candidate_aligned_keys: ClassVar[tuple] = ("relational_interval",)
 
     emb_size: int = 64
     time_scalar: int = 60 * 60 * 24 * 100

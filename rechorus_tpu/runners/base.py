@@ -194,7 +194,18 @@ class BaseRunner:
             ):
                 from rechorus_tpu.ops import sampling
 
-                feed["item_id"], inv = sampling.permute_candidates(perm_key, feed["item_id"])
+                u = jax.random.uniform(perm_key, feed["item_id"].shape)
+                idx = jnp.argsort(u, axis=-1)
+                inv = jnp.argsort(idx, axis=-1)
+                feed["item_id"] = jnp.take_along_axis(feed["item_id"], idx, axis=-1)
+                # candidate-ALIGNED extras (per-candidate features built by
+                # the batcher, e.g. SLRC/Chorus relational_interval, Chorus
+                # category_id, KDA item_val) must ride the same permutation
+                # or the model pairs them with the wrong candidates
+                for k in getattr(model, "candidate_aligned_keys", ()):
+                    if k in feed:
+                        ix = idx.reshape(idx.shape + (1,) * (feed[k].ndim - 2))
+                        feed[k] = jnp.take_along_axis(feed[k], ix, axis=1)
                 # where the true target (original column 0) landed, for
                 # models that need it during training (e.g. ComiRec)
                 feed["_target_col"] = inv[:, 0]

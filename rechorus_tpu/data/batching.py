@@ -15,8 +15,7 @@ A `Batcher` holds:
 """
 from __future__ import annotations
 
-import logging
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import argparse
 import logging
 import os
 import pickle
-import sys
 
 import numpy as np
 

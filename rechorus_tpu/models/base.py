@@ -17,7 +17,6 @@ Differences from the reference by design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-import logging
 from typing import Any, ClassVar, Dict
 
 import flax.linen as nn

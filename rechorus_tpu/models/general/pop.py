@@ -4,7 +4,7 @@ Reference behavior: src/models/general/POP.py.
 """
 from __future__ import annotations
 
-from typing import ClassVar, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

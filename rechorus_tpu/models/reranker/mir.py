@@ -8,8 +8,6 @@ modes use ImpressionSeqReader (reference MIR.py:183-201).
 """
 from __future__ import annotations
 
-from typing import ClassVar
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ encoder stack with key-padding mask, linear head. Modes: PRMGeneral
 """
 from __future__ import annotations
 
-from typing import ClassVar
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -7,8 +7,6 @@ m=20 inducing points) blocks.
 """
 from __future__ import annotations
 
-from typing import ClassVar
-
 import flax.linen as nn
 import jax.numpy as jnp
 

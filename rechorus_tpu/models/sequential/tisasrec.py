@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rechorus_tpu.models.base import SequentialModel
-from rechorus_tpu.ops.layers import NORMAL_INIT, dense, embed
+from rechorus_tpu.ops.layers import dense, embed
 from rechorus_tpu.registry import register_model
 
 

@@ -12,8 +12,6 @@ kind); this module is the TPU-native scaling layer it lacks:
 """
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -8,7 +8,7 @@ keeping the one-file-per-model authoring ergonomics: a model file calls
 from __future__ import annotations
 
 import importlib
-from typing import Dict, Type
+from typing import Dict
 
 MODEL_REGISTRY: Dict[str, type] = {}
 READER_REGISTRY: Dict[str, type] = {}

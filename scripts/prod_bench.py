@@ -1,0 +1,106 @@
+"""Production-scale throughput benchmark (single chip).
+
+The research datasets (9k-item catalogs) undersell the design; this
+measures the regime the framework targets: 200k users x 100k items,
+batch 4096, device-side negative sampling -- training examples/s and
+full-catalog top-100 serving rate.
+
+Measured on 1 TPU chip (2026-08-16): ~1.39M train examples/s
+(19.2M params, 2M-interaction epoch in 1.44 s) and ~26k users/s
+full-catalog top-100.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=200_000)
+    ap.add_argument("--items", type=int, default=100_000)
+    ap.add_argument("--emb_size", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=4096)
+    ap.add_argument("--interactions", type=int, default=2_000_000)
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from rechorus_tpu.ops import losses, sampling
+    from rechorus_tpu.registry import get_model
+    from rechorus_tpu.runners.base import TrainState, build_optimizer
+
+    U, I, D, B, n_inter = a.users, a.items, a.emb_size, a.batch_size, a.interactions
+    rng = np.random.default_rng(0)
+    users = jnp.asarray(rng.integers(1, U, size=n_inter), dtype=jnp.int32)
+    items = jnp.asarray(rng.integers(1, I, size=n_inter), dtype=jnp.int32)
+    clicked = jnp.zeros((U, 1), dtype=jnp.int32)
+
+    model = get_model("BPRMF")(user_num=U, item_num=I, emb_size=D, num_neg=1)
+    feed0 = {"user_id": users[:B], "item_id": jnp.stack([items[:B], items[B:2 * B]], 1)}
+    params = model.init({"params": jax.random.key(0)}, feed0, training=False)["params"]
+    tx = build_optimizer("Adam", 1e-3, 1e-6)
+    state = TrainState(params=params, extra_vars={}, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+
+    def step_fn(state, xs):
+        idx, key = xs
+        u, t = users[idx], items[idx]
+        neg = sampling.sample_negatives(key, u, clicked, 1, I)
+        feed = {"user_id": u, "item_id": jnp.concatenate([t[:, None], neg], 1)}
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, feed, training=True)
+            return losses.bpr_multi_neg(out["prediction"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return state.replace(params=optax.apply_updates(state.params, updates),
+                             opt_state=new_opt, step=state.step + 1), loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state, idx_mat, key):
+        keys = jax.random.split(key, idx_mat.shape[0])
+        return jax.lax.scan(step_fn, state, (idx_mat, keys))
+
+    n_steps = n_inter // B
+    idx_mat = jnp.asarray(rng.permutation(n_inter)[: n_steps * B].reshape(n_steps, B),
+                          dtype=jnp.int32)
+    state, _ = epoch(state, idx_mat, jax.random.key(0))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for e in range(3):
+        state, _ = epoch(state, idx_mat, jax.random.key(e))
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / 3
+    print(json.dumps({"train_examples_per_s": round(n_steps * B / dt),
+                      "s_per_epoch": round(dt, 3),
+                      "params_M": round(sum(x.size for x in jax.tree_util.tree_leaves(state.params)) / 1e6, 1)}))
+
+    @jax.jit
+    def serve_topk(params, u_ids):
+        u = params["u_embeddings"]["embedding"][u_ids]
+        it = params["i_embeddings"]["embedding"]
+        return jax.lax.top_k(u @ it.T, 100)
+
+    _, si = serve_topk(state.params, users[:B])
+    jax.block_until_ready(si)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _, si = serve_topk(state.params, users[:B])
+    jax.block_until_ready(si)
+    print(json.dumps({"serving_users_per_s_full_catalog_top100": round(B / ((time.perf_counter() - t0) / 10)),
+                      "catalog": I}))
+
+
+if __name__ == "__main__":
+    main()

@@ -674,6 +674,11 @@ class SLRCBatcher(SequentialBatcher):
             # eval candidates are static -> compute [n, C, R] intervals ONCE
             # instead of per-epoch inside the eval scan
             self.arrays["relational_interval"] = self._precompute_eval_intervals()
+        elif self.phase == "train":
+            # the TARGET column is static too; per-step KG probing is then
+            # only needed for the sampled negatives
+            self.arrays["_target_interval"] = self._precompute_intervals(
+                self.arrays["target_item"][:, None])
 
     def _interval_fn(self, history, his_times, now, items, keys):
         from rechorus_tpu.ops import kg as kg_ops
@@ -686,9 +691,12 @@ class SLRCBatcher(SequentialBatcher):
         )
 
     def _precompute_eval_intervals(self) -> np.ndarray:
-        keys = jnp.asarray(self.arrays["_triplet_keys"])
         items = np.concatenate(
             [self.arrays["target_item"][:, None], self.arrays["neg_items"]], axis=1)
+        return self._precompute_intervals(items)
+
+    def _precompute_intervals(self, items: np.ndarray) -> np.ndarray:
+        keys = jnp.asarray(self.arrays["_triplet_keys"])
         f = jax.jit(lambda h, ht, now, it: self._interval_fn(h, ht, now, it, keys))
         out, B = [], 1024
         for s in range(0, self.n, B):
@@ -710,7 +718,15 @@ class SLRCBatcher(SequentialBatcher):
         return feed
 
     def train_feed(self, arrays, idx, key):
-        return self._add_interval(super().train_feed(arrays, idx, key), arrays, idx)
+        feed = super().train_feed(arrays, idx, key)
+        if "_target_interval" in arrays:
+            neg_int = self._interval_fn(
+                feed["history_items"], feed["history_times"], arrays["time"][idx],
+                feed["item_id"][:, 1:], arrays["_triplet_keys"])
+            feed["relational_interval"] = jnp.concatenate(
+                [arrays["_target_interval"][idx], neg_int], axis=1)
+            return feed
+        return self._add_interval(feed, arrays, idx)
 
     def eval_feed(self, arrays, idx):
         return self._add_interval(super().eval_feed(arrays, idx), arrays, idx)

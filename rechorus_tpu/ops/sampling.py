@@ -50,17 +50,18 @@ def sample_negatives(
     return neg
 
 
-def permute_candidates(key: jax.Array, item_ids: jnp.ndarray):
-    """Random per-row column permutation; returns (permuted, inverse_idx).
+def candidate_permutation(key: jax.Array, shape):
+    """Random per-row column permutation indices; returns (idx, inverse).
 
-    Models can't memorize 'column 0 = target'; predictions are restored
-    to original order with `restore_predictions` before the loss.
+    Models can't memorize 'column 0 = target'; the runner applies idx to
+    item_id and every candidate-aligned feed key, then restores
+    predictions to original order with `restore_predictions` before the
+    loss (reference BaseRunner.py:187-202).
     """
-    u = jax.random.uniform(key, item_ids.shape)
+    u = jax.random.uniform(key, shape)
     idx = jnp.argsort(u, axis=-1)
-    permuted = jnp.take_along_axis(item_ids, idx, axis=-1)
     inv = jnp.argsort(idx, axis=-1)
-    return permuted, inv
+    return idx, inv
 
 
 def restore_predictions(predictions: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:

@@ -194,9 +194,7 @@ class BaseRunner:
             ):
                 from rechorus_tpu.ops import sampling
 
-                u = jax.random.uniform(perm_key, feed["item_id"].shape)
-                idx = jnp.argsort(u, axis=-1)
-                inv = jnp.argsort(idx, axis=-1)
+                idx, inv = sampling.candidate_permutation(perm_key, feed["item_id"].shape)
                 feed["item_id"] = jnp.take_along_axis(feed["item_id"], idx, axis=-1)
                 # candidate-ALIGNED extras (per-candidate features built by
                 # the batcher, e.g. SLRC/Chorus relational_interval, Chorus

@@ -126,14 +126,17 @@ def main(args, model_cls, reader_cls, runner_cls):
 
     corpus = build_corpus(args, reader_cls)
 
+    # runner first: it owns the device mesh and (on multi-device runs)
+    # sets the embedding-table row pad, which must precede model init
+    runner = runner_cls(args)
+
     # model + batchers
     model = model_cls.from_args(args, corpus)
     logging.info(model_cls.__name__)
     batcher_cls = get_batcher(model_cls.batcher)
     batchers = {phase: batcher_cls(corpus, model, phase, args) for phase in ["train", "dev", "test"]}
-    arrays = {phase: b.device_arrays() for phase, b in batchers.items()}
+    arrays = {phase: runner.place_arrays(b.device_arrays()) for phase, b in batchers.items()}
 
-    runner = runner_cls(args)
     state = runner.init_state(model, batchers["train"], args.random_seed)
     logging.info("#params: {}".format(count_variables(state.params)))
 

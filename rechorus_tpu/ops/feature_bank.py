@@ -14,7 +14,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from rechorus_tpu.ops.layers import NORMAL_INIT, dense
+from rechorus_tpu.ops.layers import NORMAL_INIT, dense, embed
 
 
 class FeatureEmbeddingBank(nn.Module):
@@ -37,7 +37,7 @@ class FeatureEmbeddingBank(nn.Module):
     def __call__(self, cat_ids, float_vals):
         parts = {}
         if cat_ids.shape[-1] > 0:
-            table = nn.Embed(self.total_vocab, self.vec_size, embedding_init=NORMAL_INIT, name="fused_table")
+            table = embed(self.total_vocab, self.vec_size, name="fused_table")
             parts["cat"] = table(cat_ids)  # [B, C, F_cat, d]
         float_embs = []
         for j, pos in enumerate([i for i, k in enumerate(self.kinds) if k == "float"]):
@@ -54,7 +54,7 @@ class FeatureEmbeddingBank(nn.Module):
 
         lin_parts = {}
         if cat_ids.shape[-1] > 0:
-            lin_table = nn.Embed(self.total_vocab, 1, embedding_init=NORMAL_INIT, name="fused_linear")
+            lin_table = embed(self.total_vocab, 1, name="fused_linear")
             lin_parts["cat"] = lin_table(cat_ids)  # [B, C, F_cat, 1]
         lin_float = []
         for j in range(float_vals.shape[-1]):

@@ -26,7 +26,12 @@ def dense(features: int, use_bias: bool = True, name: Optional[str] = None) -> n
 
 
 def embed(num: int, dim: int, name: Optional[str] = None) -> nn.Embed:
-    return nn.Embed(num, dim, embedding_init=NORMAL_INIT, name=name)
+    """Embedding table; rows round up to the mesh row-pad quantum
+    (parallel.mesh.set_table_row_pad) so 'model'-axis row-sharding always
+    divides. Ids are < num, so the dead tail rows are never gathered."""
+    from rechorus_tpu.parallel.mesh import pad_rows
+
+    return nn.Embed(pad_rows(num), dim, embedding_init=NORMAL_INIT, name=name)
 
 
 class MLPBlock(nn.Module):

@@ -103,6 +103,10 @@ class BaseRunner:
         parser.add_argument("--scan_unroll", type=int, default=1,
                             help="Unroll factor of the per-epoch training scan (amortizes "
                                  "per-step sequencing overhead for small models).")
+        parser.add_argument("--data_parallel", type=int, default=1,
+                            help="Devices on the 'data' mesh axis (batch sharding).")
+        parser.add_argument("--model_parallel", type=int, default=1,
+                            help="Devices on the 'model' mesh axis (embedding-table row sharding).")
         return parser
 
     def __init__(self, args):
@@ -128,6 +132,20 @@ class BaseRunner:
         self.scan_unroll = max(1, getattr(args, "scan_unroll", 1))
         self.time = None
         self._compiled = {}
+        self.mesh = None
+        dp = max(1, getattr(args, "data_parallel", 1))
+        mp = max(1, getattr(args, "model_parallel", 1))
+        if dp * mp > 1:
+            from rechorus_tpu.parallel.mesh import make_mesh, set_table_row_pad
+
+            if dp * mp > jax.device_count():
+                raise ValueError(
+                    f"mesh {dp}x{mp} needs {dp * mp} devices, have {jax.device_count()}"
+                )
+            self.mesh = make_mesh(n_devices=dp * mp, model_parallel=mp)
+            # tables built after this point round rows to a multiple of mp
+            set_table_row_pad(mp)
+            logging.info("Mesh: data=%d model=%d over %s", dp, mp, self.mesh.devices.ravel())
 
     # ------------------------------------------------------------------ #
     def _check_time(self, start=False):
@@ -158,6 +176,10 @@ class BaseRunner:
         if hasattr(model, "post_init_state"):
             # e.g. BUIR copies online params into the EMA target collection
             state = model.post_init_state(state)
+        if self.mesh is not None:
+            from rechorus_tpu.parallel.mesh import shard_state
+
+            state = shard_state(state, tx, self.mesh)
         return state
 
     def save_model(self, state: TrainState, model_path: str = None):
@@ -284,17 +306,43 @@ class BaseRunner:
         padded = np.resize(order, n_batches * batch_size)
         return padded.reshape(n_batches, batch_size).astype(np.int32)
 
+    def _place_index_matrix(self, idx_mat: np.ndarray):
+        """Device-place the [n_batches, B] index matrix; on a mesh, each
+        step's batch axis shards over 'data' (feeds assembled from it
+        inherit the sharding, so activations+grads are data-parallel)."""
+        if self.mesh is None:
+            return jnp.asarray(idx_mat)
+        from rechorus_tpu.parallel.mesh import index_matrix_sharding, replicated
+
+        dp = self.mesh.shape.get("data", 1)
+        if idx_mat.shape[1] % dp == 0:
+            return jax.device_put(idx_mat, index_matrix_sharding(self.mesh))
+        logging.warning("batch %d not divisible by data axis %d; replicating batches",
+                        idx_mat.shape[1], dp)
+        return jax.device_put(idx_mat, replicated(self.mesh))
+
+    def place_arrays(self, arrays: dict) -> dict:
+        """Replicate corpus-derived device arrays over the mesh (no-op
+        single-device)."""
+        if self.mesh is None:
+            return arrays
+        from rechorus_tpu.parallel.mesh import replicated
+
+        rep = replicated(self.mesh)
+        return {k: jax.device_put(v, rep) if hasattr(v, "shape") else v
+                for k, v in arrays.items()}
+
     def fit(self, state: TrainState, model, batcher, arrays, epoch: int, rng_key) -> tuple:
         epoch_key = jax.random.fold_in(rng_key, epoch)
         perm = np.asarray(jax.random.permutation(jax.random.fold_in(epoch_key, 1), len(batcher)))
-        idx_mat = jnp.asarray(self._batch_index_matrix(len(batcher), self.batch_size, perm))
+        idx_mat = self._place_index_matrix(self._batch_index_matrix(len(batcher), self.batch_size, perm))
         epoch_fn = self._get_epoch_fn(model, batcher, arrays)
         state, loss = epoch_fn(state, idx_mat, jax.random.fold_in(epoch_key, 2))
         return state, float(loss)
 
     def predict_ranks(self, state: TrainState, model, batcher, arrays, phase: str) -> np.ndarray:
         n = len(batcher)
-        idx_mat = jnp.asarray(self._batch_index_matrix(n, self.eval_batch_size))
+        idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
         eval_fn = self._get_eval_fn(model, batcher, arrays, phase)
         ranks = np.asarray(eval_fn(state.params, state.extra_vars, idx_mat))
         return ranks[:n]  # drop wrap-around padding
@@ -331,7 +379,7 @@ class BaseRunner:
 
             self._compiled[cache_key] = topk_fn
         n = len(batcher)
-        idx_mat = jnp.asarray(self._batch_index_matrix(n, self.eval_batch_size))
+        idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
         items, scores = self._compiled[cache_key](state.params, state.extra_vars, idx_mat)
         return np.asarray(items)[:n], np.asarray(scores)[:n]
 
@@ -345,7 +393,7 @@ class BaseRunner:
 
     # ------------------------------------------------------------------ #
     def train(self, model, batchers: Dict[str, object], state: TrainState = None) -> TrainState:
-        arrays = {phase: b.device_arrays() for phase, b in batchers.items()}
+        arrays = {phase: self.place_arrays(b.device_arrays()) for phase, b in batchers.items()}
         rng_key = jax.random.key(self.random_seed)
         if state is None:
             state = self.init_state(model, batchers["train"], self.random_seed)

@@ -53,3 +53,48 @@ def test_sharded_topk_no_mask(mesh):
         vals, ids = sharded_catalog_topk(u, table, k, mesh)
     assert vals.shape == (B, k) and ids.shape == (B, k)
     assert (np.diff(np.asarray(vals), axis=1) <= 1e-6).all()  # descending
+
+
+def test_pad_rows_quantum():
+    from rechorus_tpu.parallel import mesh as M
+
+    try:
+        M.set_table_row_pad(4)
+        assert M.pad_rows(2049) == 2052
+        assert M.pad_rows(2048) == 2048
+        M.set_table_row_pad(1)
+        assert M.pad_rows(2049) == 2049
+    finally:
+        M.set_table_row_pad(1)
+
+
+def test_param_spec_nondivisible_falls_back_to_replication(caplog):
+    """Tables whose rows don't divide the model axis must replicate, not
+    crash (round-1 regression: 2049-row table on a 2-way model axis)."""
+    import logging
+
+    from rechorus_tpu.parallel.mesh import param_spec
+
+    v = jnp.zeros((2049, 32))
+    with caplog.at_level(logging.WARNING):
+        spec = param_spec(("i_embeddings", "embedding"), v, model_size=2)
+    assert spec == P()
+    assert any("not divisible" in r.message for r in caplog.records)
+    # divisible table on the same axis still shards
+    assert param_spec(("i_embeddings", "embedding"), jnp.zeros((2050, 32)), 2) == P("model", None)
+
+
+def test_dryrun_multichip_product_path():
+    """The EXACT config the driver checks: n_items=2048 (2049 logical
+    rows, non-divisible), SASRec, 8 devices, 4x2 mesh, full train epoch +
+    sharded eval through the runner product path."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from rechorus_tpu.parallel import mesh as M
+
+    from __graft_entry__ import dryrun_multichip
+
+    try:
+        dryrun_multichip(8)
+    finally:
+        M.set_table_row_pad(1)

@@ -33,6 +33,10 @@ def make_topk_dataset(
         items = rng.choice(group_items, size=min(n_per_user, len(group_items)), replace=False)
         for j, it in enumerate(items):
             rows.append((u, int(it), int(t0 + j * 86400)))
+    # guarantee the top item id is observed so the reader's n_items covers
+    # the full sampled-negative range [1, n_items]
+    if not any(r[1] == n_items for r in rows):
+        rows.append((1, n_items, int(rng.integers(1e8, 2e8))))
     df = pd.DataFrame(rows, columns=["user_id", "item_id", "time"])
     df = df.sort_values(by=["time", "user_id"], kind="mergesort").reset_index(drop=True)
     clicked = df.groupby("user_id")["item_id"].apply(set).to_dict()

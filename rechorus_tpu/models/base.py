@@ -31,6 +31,18 @@ class BaseModel(nn.Module):
     runner: ClassVar[str] = "BaseRunner"
     batcher: ClassVar[str] = "general"
     extra_log_args: ClassVar[list] = []
+    # Catalog-scoring protocol (full-catalog eval/serving): models that
+    # factor as score(u, i) = u_v . table[i] (+ bias[i]) set this True and
+    # accept __call__(feed, training, catalog=True) returning
+    # {"u_v": [B, d]} (+ optional "i_table" [N, d], "i_bias" [N]). The
+    # runner then scores the catalog as ONE [B,d]x[d,N] MXU matmul --
+    # and, when the table is row-sharded over the mesh 'model' axis,
+    # routes through parallel.topk's shard_map kernels (O(B*k) comm).
+    # When "i_table" is absent the runner reads the raw param table at
+    # catalog_table; models with a transformed table (e.g. LightGCN's
+    # propagated embeddings) return it explicitly.
+    supports_catalog: ClassVar[bool] = False
+    catalog_table: ClassVar[tuple] = ("i_embeddings",)
 
     @staticmethod
     def parse_model_args(parser):

@@ -38,6 +38,7 @@ class BPRMFBase:
 @register_model("BPRMF")
 class BPRMF(GeneralModel, BPRMFBase):
     extra_log_args: ClassVar[list] = ["emb_size", "batch_size"]
+    supports_catalog: ClassVar[bool] = True
 
     emb_size: int = 64
 
@@ -47,7 +48,10 @@ class BPRMF(GeneralModel, BPRMFBase):
         return GeneralModel.parse_model_args(parser)
 
     @nn.compact
-    def __call__(self, feed, training: bool = False):
+    def __call__(self, feed, training: bool = False, catalog: bool = False):
+        if catalog:
+            u_v = embed(self.user_num, self.emb_size, "u_embeddings")(feed["user_id"])
+            return {"u_v": u_v}
         return {"prediction": self.score(feed)["prediction"]}
 
 

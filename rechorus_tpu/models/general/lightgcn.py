@@ -100,6 +100,7 @@ class LightGCNBase:
 @register_model("LightGCN")
 class LightGCN(GeneralModel, LightGCNBase):
     extra_log_args: ClassVar[list] = ["emb_size", "n_layers", "batch_size"]
+    supports_catalog: ClassVar[bool] = True
 
     emb_size: int = 64
     n_layers: int = 3
@@ -117,7 +118,11 @@ class LightGCN(GeneralModel, LightGCNBase):
         return kw
 
     @nn.compact
-    def __call__(self, feed, training: bool = False):
+    def __call__(self, feed, training: bool = False, catalog: bool = False):
+        if catalog:
+            # propagated (not raw-param) table -> returned explicitly
+            user_all, item_all = self.propagate()
+            return {"u_v": user_all[feed["user_id"]], "i_table": item_all}
         return {"prediction": self.score(feed)["prediction"]}
 
 

@@ -23,17 +23,16 @@ class GRU4RecBase:
         parser.add_argument("--hidden_size", type=int, default=100, help="Size of hidden vectors in GRU.")
         return parser
 
-    def score(self, feed, training: bool):
-        i_ids = feed["item_id"]
-        history = feed["history_items"]
-        lengths = feed["lengths"]
-
+    def encode(self, feed, training: bool):
         i_emb = embed(self.item_num, self.emb_size, "i_embeddings")
-        his_vectors = i_emb(history)
-        _, hidden = MaskedGRU(self.hidden_size, name="rnn")(his_vectors, lengths)
+        his_vectors = i_emb(feed["history_items"])
+        _, hidden = MaskedGRU(self.hidden_size, name="rnn")(his_vectors, feed["lengths"])
         rnn_vector = dense(self.emb_size, name="out")(hidden)
+        return rnn_vector, i_emb
 
-        pred_vectors = i_emb(i_ids)
+    def score(self, feed, training: bool):
+        rnn_vector, i_emb = self.encode(feed, training)
+        pred_vectors = i_emb(feed["item_id"])
         prediction = (rnn_vector[:, None, :] * pred_vectors).sum(-1)
         u_v = jnp.broadcast_to(rnn_vector[:, None, :], pred_vectors.shape)
         return {"prediction": prediction, "u_v": u_v, "i_v": pred_vectors}
@@ -42,6 +41,7 @@ class GRU4RecBase:
 @register_model("GRU4Rec")
 class GRU4Rec(SequentialModel, GRU4RecBase):
     extra_log_args: ClassVar[list] = ["emb_size", "hidden_size"]
+    supports_catalog: ClassVar[bool] = True
 
     emb_size: int = 64
     hidden_size: int = 100
@@ -52,7 +52,10 @@ class GRU4Rec(SequentialModel, GRU4RecBase):
         return SequentialModel.parse_model_args(parser)
 
     @nn.compact
-    def __call__(self, feed, training: bool = False):
+    def __call__(self, feed, training: bool = False, catalog: bool = False):
+        if catalog:
+            rnn_vector, _ = self.encode(feed, training)
+            return {"u_v": rnn_vector}
         return {"prediction": self.score(feed, training)["prediction"]}
 
 

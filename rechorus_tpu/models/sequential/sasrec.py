@@ -62,6 +62,7 @@ class SASRecBase:
 @register_model("SASRec")
 class SASRec(SequentialModel, SASRecBase):
     extra_log_args: ClassVar[list] = ["emb_size", "num_layers", "num_heads"]
+    supports_catalog: ClassVar[bool] = True
 
     emb_size: int = 64
     num_layers: int = 1
@@ -73,7 +74,10 @@ class SASRec(SequentialModel, SASRecBase):
         return SequentialModel.parse_model_args(parser)
 
     @nn.compact
-    def __call__(self, feed, training: bool = False):
+    def __call__(self, feed, training: bool = False, catalog: bool = False):
+        if catalog:
+            his_vector, _ = self.encode_history(feed, training)
+            return {"u_v": his_vector}
         return {"prediction": self.score(feed, training)["prediction"]}
 
 

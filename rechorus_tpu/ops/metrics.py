@@ -248,3 +248,28 @@ def evaluate_impression(
             else:
                 raise ValueError("Undefined evaluation metric: {}.".format(metric))
     return evaluations
+
+
+def masked_topk(pred, clicked_rows, k: int, n_valid: int | None = None):
+    """Gather-only top-k with exclusions (no -inf scatters, which serialize
+    on TPU): column 0 (pad item), columns >= n_valid (dead padded table
+    rows), and the ids in clicked_rows [B, M] (0-padded). Two-stage: take
+    the top k+M candidates (a clicked item can displace at most M winners),
+    knock out clicked among them by a [B, k+M, M] fused compare, re-top-k.
+
+    pred [B, N] -> (values [B, k'], column ids [B, k']), k' = min(k, N).
+    """
+    import jax
+
+    B, N = pred.shape
+    cols = jnp.arange(N, dtype=jnp.int32)
+    tail_ok = cols > 0
+    if n_valid is not None and n_valid < N:
+        tail_ok = tail_ok & (cols < n_valid)
+    pred = jnp.where(tail_ok[None, :], pred, -jnp.inf)
+    k_wide = min(N, k + clicked_rows.shape[1])
+    v, i = jax.lax.top_k(pred, k_wide)
+    hit = (i[:, :, None] == clicked_rows[:, None, :].astype(i.dtype)).any(-1)
+    v = jnp.where(hit, -jnp.inf, v)
+    v2, sel = jax.lax.top_k(v, min(k, k_wide))
+    return v2, jnp.take_along_axis(i, sel, axis=1)

@@ -267,21 +267,69 @@ class BaseRunner:
         self._compiled["train"] = epoch_fn
         return epoch_fn
 
+    def _catalog_parts(self, model, variables, feed):
+        """(u_vecs, item_table, bias) for catalog-protocol models; the
+        table keeps its placement (row-sharded on a mesh) because it is
+        read straight from params unless the model computes it."""
+        out = model.apply(variables, feed, training=False, catalog=True)
+        table = out.get("i_table")
+        if table is None:
+            node = variables["params"]
+            for kk in model.catalog_table:
+                node = node[kk]
+            table = node["embedding"]
+        return out["u_v"], table, out.get("i_bias")
+
+    def _use_sharded_catalog(self, table_shape) -> bool:
+        """Static (trace-time) mirror of parallel.mesh.param_spec: route
+        through the shard_map kernels iff the table row-shards."""
+        from rechorus_tpu.parallel.mesh import MIN_ROWS_TO_SHARD
+
+        mp = self.mesh.shape.get("model", 1) if self.mesh is not None else 1
+        return mp > 1 and table_shape[0] >= MIN_ROWS_TO_SHARD and table_shape[0] % mp == 0
+
+    def _dense_catalog_scores(self, u, table, bias, n_items: int):
+        """[B, Np] catalog scores as ONE MXU matmul; dead padded tail
+        rows (ids >= n_items) masked elementwise (no scatter)."""
+        scores = u @ table.T
+        if bias is not None:
+            scores = scores + bias[None, :]
+        if table.shape[0] > n_items:
+            scores = jnp.where(
+                jnp.arange(table.shape[0]) < n_items, scores, -jnp.inf
+            )
+        return scores
+
     def _get_eval_fn(self, model, batcher, arrays, phase: str):
         if phase in self._compiled:
             return self._compiled[phase]
 
         def rank_step(variables, idx):
             feed = batcher.eval_feed(arrays, idx)
-            out = model.apply(variables, feed, training=False)
-            pred = out["prediction"]
             if getattr(batcher, "test_all", False):
-                # scatter-free masked catalog ranking (pallas ge_count +
-                # gather corrections; see ops/pallas_kernels.py)
                 from rechorus_tpu.ops.pallas_kernels import catalog_ranks
 
-                ranks = catalog_ranks(pred, feed["_target"], feed["_clicked_rows"])
+                if getattr(model, "supports_catalog", False):
+                    # catalog protocol: u . table as one matmul instead of
+                    # a [B, N, d] embedding gather through the model
+                    u, table, bias = self._catalog_parts(model, variables, feed)
+                    n_items = batcher.corpus.n_items
+                    if self._use_sharded_catalog(table.shape):
+                        from rechorus_tpu.parallel.topk import sharded_catalog_ranks
+
+                        ranks = sharded_catalog_ranks(
+                            u, table, feed["_target"], self.mesh,
+                            feed["_clicked_rows"], bias, n_valid=n_items)
+                    else:
+                        scores = self._dense_catalog_scores(u, table, bias, n_items)
+                        ranks = catalog_ranks(scores, feed["_target"], feed["_clicked_rows"])
+                else:
+                    # scatter-free masked catalog ranking (pallas ge_count
+                    # + gather corrections; see ops/pallas_kernels.py)
+                    pred = model.apply(variables, feed, training=False)["prediction"]
+                    ranks = catalog_ranks(pred, feed["_target"], feed["_clicked_rows"])
             else:
+                pred = model.apply(variables, feed, training=False)["prediction"]
                 ranks = metrics_ops.gt_rank(pred)
             return variables, ranks
 
@@ -357,12 +405,30 @@ class BaseRunner:
 
             def step(variables, idx):
                 feed = batcher.eval_feed(arrays, idx)
+                if getattr(batcher, "test_all", False):
+                    if getattr(model, "supports_catalog", False):
+                        u, table, bias = self._catalog_parts(model, variables, feed)
+                        n_items = batcher.corpus.n_items
+                        if self._use_sharded_catalog(table.shape):
+                            from rechorus_tpu.parallel.topk import sharded_catalog_topk
+
+                            scores, items = sharded_catalog_topk(
+                                u, table, k, self.mesh,
+                                clicked_rows=feed["_clicked_rows"],
+                                item_bias=bias, n_valid=n_items)
+                        else:
+                            pred = self._dense_catalog_scores(u, table, bias, n_items)
+                            scores, items = metrics_ops.masked_topk(
+                                pred, feed["_clicked_rows"], k, n_valid=n_items)
+                    else:
+                        pred = model.apply(variables, feed, training=False)["prediction"]
+                        # gather-only exclusion of item 0 + clicked rows
+                        # (the old .at[].set(-inf) scatter serialized on TPU)
+                        scores, cols = metrics_ops.masked_topk(pred, feed["_clicked_rows"], k)
+                        items = jnp.take_along_axis(feed["item_id"], cols, axis=1)
+                    return variables, (items, scores)
                 out = model.apply(variables, feed, training=False)
                 pred = out["prediction"]
-                if getattr(batcher, "test_all", False):
-                    B = pred.shape[0]
-                    pred = pred.at[:, 0].set(-jnp.inf)
-                    pred = pred.at[jnp.arange(B)[:, None], feed["_clicked_rows"]].set(-jnp.inf)
                 kk = min(k, pred.shape[1])
                 scores, cols = jax.lax.top_k(pred, kk)
                 if "item_id" in feed:

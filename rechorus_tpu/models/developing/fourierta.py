@@ -66,7 +66,7 @@ class FourierTA(SequentialModel):
         residual = context
         context = dense(d, name="W2")(nn.relu(dense(d, name="W1")(context)))
         context = nn.Dropout(self.dropout, deterministic=not training)(context)
-        context = nn.LayerNorm(name="layer_norm")(residual + context)
+        context = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(residual + context)
 
         i_bias = self.param("item_bias", NORMAL_INIT, (self.item_num, 1))[feed["item_id"]][..., 0]
         prediction = ((u_vectors[:, None, :] + context) * i_vectors).sum(-1) + i_bias

@@ -100,7 +100,7 @@ class MIRBase:
 
         fin = jnp.concatenate([v, q], axis=2)
         final_embed = jnp.concatenate([i_v, fin], axis=2)
-        final_embed = nn.LayerNorm(use_bias=False, use_scale=False, name="ln")(final_embed)
+        final_embed = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False, name="ln")(final_embed)
         drop = lambda x: nn.Dropout(self.dropout, deterministic=not training)(x)
         x = drop(nn.relu(dense(500, name="fc1")(final_embed)))
         x = drop(nn.relu(dense(200, name="fc2")(x)))

@@ -31,12 +31,12 @@ class MAB(nn.Module):
             mask = (~key_padding_mask)[:, None, None, :]  # [B,1,1,Lk]
         attn = MultiHeadAttention(self.d_model, self.n_heads, out_proj=True, name="attn")(Q, K, V, mask=mask)
         attn = nn.Dropout(self.dropout, deterministic=not training)(attn)
-        x = nn.LayerNorm(name="norm1")(Q + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(Q + attn)
         ff = dense(self.d_model, name="linear2")(
             nn.Dropout(self.dropout, deterministic=not training)(nn.relu(dense(self.d_ff, name="linear1")(x)))
         )
         ff = nn.Dropout(self.dropout, deterministic=not training)(ff)
-        return nn.LayerNorm(name="norm2")(x + ff)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
 
 
 class SetRankBase:

@@ -145,7 +145,7 @@ class KDA(SequentialModel):
             context = dense(d, name=f"w1_{k}")(context)
             context = dense(d, name=f"w2_{k}")(nn.relu(context))
             context = nn.Dropout(self.dropout, deterministic=not training)(context)
-            context = nn.LayerNorm(name=f"ln_{k}")(residual + context)
+            context = nn.LayerNorm(epsilon=1e-5, name=f"ln_{k}")(residual + context)
 
         # --- pooling over relations ---
         if self.pooling == "attention":

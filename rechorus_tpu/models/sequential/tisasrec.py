@@ -49,10 +49,10 @@ class TimeIntervalTransformerLayer(nn.Module):
         out = out + jnp.einsum("bhqk,bhqkd->bhqd", attn, iv)
         context = out.swapaxes(1, 2).reshape(B, L, self.d_model)
 
-        context = nn.LayerNorm(name="ln1")(
+        context = nn.LayerNorm(epsilon=1e-5, name="ln1")(
             nn.Dropout(self.dropout, deterministic=not training)(context) + seq)
         ff = dense(self.d_model, name="ff2")(nn.relu(dense(self.d_ff, name="ff1")(context)))
-        return nn.LayerNorm(name="ln2")(
+        return nn.LayerNorm(epsilon=1e-5, name="ln2")(
             nn.Dropout(self.dropout, deterministic=not training)(ff) + context)
 
 

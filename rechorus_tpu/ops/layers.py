@@ -60,11 +60,13 @@ class MLPBlock(nn.Module):
         for i, (h, act) in enumerate(zip(self.hidden_units, acts)):
             x = dense(h, use_bias=self.use_bias, name=f"dense_{i}")(x)
             if self.norm == "batch_norm":
-                x = nn.BatchNorm(use_running_average=not training, name=f"bn_{i}")(x)
+                # momentum 0.9 == torch BatchNorm1d momentum 0.1
+                x = nn.BatchNorm(use_running_average=not training,
+                                 momentum=0.9, epsilon=1e-5, name=f"bn_{i}")(x)
             elif self.norm == "layer_norm":
-                x = nn.LayerNorm(name=f"ln_{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
             if act.lower() == "dice":
-                x = Dice(name=f"dice_{i}")(x)
+                x = Dice(name=f"dice_{i}")(x, training=training)
             else:
                 x = apply_activation(x, act)
             if self.dropout_rate > 0:
@@ -75,17 +77,17 @@ class MLPBlock(nn.Module):
 
 
 class Dice(nn.Module):
-    """Adaptive activation from the DIN paper (reference layers.py:246-285)."""
+    """Adaptive activation from the DIN paper (reference layers.py:246-285).
+
+    Torch parity: an affine BatchNorm1d(eps=1e-8) with running statistics
+    (batch stats while training, running averages at eval; flax momentum
+    0.9 == torch momentum 0.1), then p*x + (1-p)*alpha*x."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, training: bool = False):
         alpha = self.param("alpha", nn.initializers.zeros, x.shape[-1:])
-        # data-dependent normalization over all non-feature axes, like the
-        # reference's BatchNorm1d(affine=False) applied to flattened (B*C, h)
-        axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
-        x_norm = (x - mean) * jax.lax.rsqrt(var + 1e-8)
+        x_norm = nn.BatchNorm(use_running_average=not training,
+                              momentum=0.9, epsilon=1e-8, name="bn")(x)
         p = jax.nn.sigmoid(x_norm)
         return p * x + (1.0 - p) * alpha * x
 
@@ -314,9 +316,10 @@ class TransformerLayer(nn.Module):
             self.d_model, self.n_heads, kq_same=self.kq_same, out_proj=self.out_proj, name="mha"
         )(seq, seq, seq, mask=mask)
         context = nn.Dropout(self.dropout, deterministic=not training)(context)
-        context = nn.LayerNorm(name="ln1")(context + seq)
+        # epsilon matches torch nn.LayerNorm (1e-5; flax defaults to 1e-6)
+        context = nn.LayerNorm(epsilon=1e-5, name="ln1")(context + seq)
         ff = dense(self.d_ff, name="ff1")(context)
         ff = nn.relu(ff)
         ff = dense(self.d_model, name="ff2")(ff)
         ff = nn.Dropout(self.dropout, deterministic=not training)(ff)
-        return nn.LayerNorm(name="ln2")(ff + context)
+        return nn.LayerNorm(epsilon=1e-5, name="ln2")(ff + context)

@@ -1,0 +1,465 @@
+"""Weight-port forward parity vs the torch reference (VERDICT item 5).
+
+Initializes the reference model (torch, CPU), copies its weights into the
+flax params, and asserts identical predictions on an identical feed.
+Catches silently-wrong attention masks / feature joins that task-level
+metrics cannot. Reference forwards: src/models/sequential/SASRec.py:51-86,
+src/models/context/FM.py:44-63, src/models/context_seq/DIN.py:147-160.
+"""
+import argparse
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_SRC = "/root/reference/src"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_path():
+    sys.path.insert(0, REF_SRC)
+    np.int = int  # reference code predates numpy 1.24 (np.tril(..., dtype=np.int))
+    yield
+    sys.path.remove(REF_SRC)
+    del np.int
+
+
+def t(x):
+    x = np.asarray(x)
+    return torch.from_numpy(x.astype(np.int64) if x.dtype.kind in "iu" else x.astype(np.float32))
+
+
+def ref_args(**over):
+    base = dict(device=torch.device("cpu"), model_path="", buffer=1, num_neg=1,
+                dropout=0.0, test_all=0, emb_size=16, history_max=8,
+                num_layers=1, num_heads=2, loss_n="BCE")
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+# --------------------------------------------------------------------- #
+def test_sasrec_forward_parity():
+    from models.sequential.SASRec import SASRec as TorchSASRec
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H, d = 30, 50, 8, 16
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchSASRec(ref_args(), corpus).eval()
+
+    model = get_model("SASRec")(user_num=n_users, item_num=n_items, emb_size=d,
+                                num_layers=1, num_heads=2, dropout=0.0, history_max=H)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    blk = "transformer_block.0."
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "p_embeddings": {"embedding": sd["p_embeddings.weight"]},
+        "transformer_0": {
+            "mha": {
+                "q": {"kernel": sd[blk + "masked_attn_head.q_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.q_linear.bias"]},
+                "k": {"kernel": sd[blk + "masked_attn_head.k_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.k_linear.bias"]},
+                "v": {"kernel": sd[blk + "masked_attn_head.v_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.v_linear.bias"]},
+            },
+            "ln1": {"scale": sd[blk + "layer_norm1.weight"], "bias": sd[blk + "layer_norm1.bias"]},
+            "ff1": {"kernel": sd[blk + "linear1.weight"].T, "bias": sd[blk + "linear1.bias"]},
+            "ff2": {"kernel": sd[blk + "linear2.weight"].T, "bias": sd[blk + "linear2.bias"]},
+            "ln2": {"scale": sd[blk + "layer_norm2.weight"], "bias": sd[blk + "layer_norm2.bias"]},
+        },
+    }
+
+    rng = np.random.default_rng(1)
+    B, C = 6, 4
+    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
+    hist = np.zeros((B, H), dtype=np.int32)
+    for b in range(B):
+        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users),
+                       "batch_size": B, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def ctr_corpus(tmp_path_factory):
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.synthetic import make_ctr_dataset
+
+    root = tmp_path_factory.mktemp("data")
+    make_ctr_dataset(str(root / "SynthCTR"))
+    args = argparse.Namespace(
+        path=str(root), dataset="SynthCTR", sep="\t",
+        include_item_features=1, include_user_features=1, include_situation_features=1)
+    return registry.get_reader("ContextReader")(args)
+
+
+def _port_fm_tables(ref, corpus, schema):
+    """Per-feature reference tables -> one fused table at schema offsets."""
+    from rechorus_tpu.data.context import is_categorical
+
+    d = ref.vec_size
+    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
+    fused_lin = np.zeros((schema.total_vocab, 1), dtype=np.float32)
+    bank = {}
+    fj = 0
+    for name, off in zip(schema.names, schema.offsets):
+        if is_categorical(name):
+            w = ref.context_embedding[name].weight.detach().numpy()
+            fused[off: off + w.shape[0]] = w
+            fused_lin[off: off + w.shape[0]] = ref.linear_embedding[name].weight.detach().numpy()
+        else:
+            bank[f"float_emb_{fj}"] = {
+                "kernel": ref.context_embedding[name].weight.detach().numpy().T}
+            bank[f"float_lin_{fj}"] = {
+                "kernel": ref.linear_embedding[name].weight.detach().numpy().T}
+            fj += 1
+    bank["fused_table"] = {"embedding": fused}
+    bank["fused_linear"] = {"embedding": fused_lin}
+    return bank
+
+
+def test_fm_ctr_forward_parity(ctr_corpus):
+    from models.context.FM import FMCTR as TorchFMCTR
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    ref = TorchFMCTR(ref_args(), corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, loss_n="BCE", dropout=0.0, test_all=0,
+                              num_neg=0, model_path="", buffer=1)
+    model_cls = get_model("FMCTR")
+    model = model_cls.from_args(args, corpus)
+    schema = build_schema(corpus)
+    params = {"bank": _port_fm_tables(ref, corpus, schema),
+              "overall_bias": ref.overall_bias.detach().numpy()}
+
+    rng = np.random.default_rng(2)
+    B = 16
+    df = corpus.data_df["dev"]
+    rows = rng.choice(len(df), size=B, replace=False)
+    users = df["user_id"].to_numpy()[rows].astype(np.int32)
+    items = df["item_id"].to_numpy()[rows].astype(np.int32)
+    labels = df["label"].to_numpy()[rows].astype(np.float32)
+
+    # torch feed: per-feature columns, item-side [B, 1]
+    tf = {"user_id": t(users), "item_id": t(items[:, None]), "label": t(labels[:, None])}
+    for c in corpus.user_feature_names:
+        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
+    for c in corpus.item_feature_names:
+        tf[c] = t(np.asarray([[corpus.item_features[i][c]] for i in items]))
+    for c in corpus.situation_feature_names:
+        tf[c] = t(df[c].to_numpy()[rows])
+    with torch.no_grad():
+        ref_out = ref(tf)
+
+    import jax.numpy as jnp
+
+    situ_names = corpus.situation_feature_names
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items[:, None]),
+            "label": jnp.asarray(labels[:, None])}
+    situ_cat = [df[c].to_numpy()[rows] for c in situ_names if c.endswith(("_c", "_id"))]
+    situ_float = [df[c].to_numpy()[rows] for c in situ_names if c.endswith("_f")]
+    feed["situ_cat"] = jnp.asarray(np.stack(situ_cat, -1).astype(np.int32)) if situ_cat else jnp.zeros((B, 0), jnp.int32)
+    feed["situ_float"] = jnp.asarray(np.stack(situ_float, -1).astype(np.float32)) if situ_float else jnp.zeros((B, 0), jnp.float32)
+
+    variables = model.init({"params": __import__("jax").random.key(0)}, feed, training=False)
+    out = model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+                      feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+def test_din_forward_parity(ctr_corpus):
+    """DIN: target attention + Dice/BatchNorm DNN. Exercises the fused
+    feature bank, history feature join, masked unnormalized attention,
+    and the (fresh-stats) BatchNorm/Dice stack."""
+    from models.context_seq.DIN import DINTopK as TorchDIN
+
+    from rechorus_tpu.data.context import build_schema, is_categorical
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    rargs = ref_args(att_layers="[32]", dnn_layers="[24]", add_historical_situations=0,
+                     history_max=5)
+    ref = TorchDIN(rargs, corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, att_layers="[32]", dnn_layers="[24]",
+                              add_historical_situations=0, loss_n="BPR", dropout=0.0,
+                              test_all=0, num_neg=1, model_path="", buffer=1, history_max=5)
+    model_cls = get_model("DINTopK")
+    model = model_cls.from_args(args, corpus)
+    schema = build_schema(corpus)
+
+    d = 16
+    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
+    params = {}
+    for name, off in zip(schema.names, schema.offsets):
+        if is_categorical(name):
+            w = ref.embedding_dict[name].weight.detach().numpy()
+            fused[off: off + w.shape[0]] = w
+        else:
+            params[f"float_{name}"] = {
+                "kernel": ref.embedding_dict[name].weight.detach().numpy().T}
+    params["fused_table"] = {"embedding": fused}
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    blk = "transformer_block.0."
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "p_embeddings": {"embedding": sd["p_embeddings.weight"]},
+        "transformer_0": {
+            "mha": {
+                "q": {"kernel": sd[blk + "masked_attn_head.q_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.q_linear.bias"]},
+                "k": {"kernel": sd[blk + "masked_attn_head.k_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.k_linear.bias"]},
+                "v": {"kernel": sd[blk + "masked_attn_head.v_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.v_linear.bias"]},
+            },
+            "ln1": {"scale": sd[blk + "layer_norm1.weight"], "bias": sd[blk + "layer_norm1.bias"]},
+            "ff1": {"kernel": sd[blk + "linear1.weight"].T, "bias": sd[blk + "linear1.bias"]},
+            "ff2": {"kernel": sd[blk + "linear2.weight"].T, "bias": sd[blk + "linear2.bias"]},
+            "ln2": {"scale": sd[blk + "layer_norm2.weight"], "bias": sd[blk + "layer_norm2.bias"]},
+        },
+    }
+
+    rng = np.random.default_rng(1)
+    B, C = 6, 4
+    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
+    hist = np.zeros((B, H), dtype=np.int32)
+    for b in range(B):
+        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users),
+                       "batch_size": B, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def ctr_corpus(tmp_path_factory):
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.synthetic import make_ctr_dataset
+
+    root = tmp_path_factory.mktemp("data")
+    make_ctr_dataset(str(root / "SynthCTR"))
+    args = argparse.Namespace(
+        path=str(root), dataset="SynthCTR", sep="\t",
+        include_item_features=1, include_user_features=1, include_situation_features=1)
+    return registry.get_reader("ContextReader")(args)
+
+
+def _port_fm_tables(ref, corpus, schema):
+    """Per-feature reference tables -> one fused table at schema offsets."""
+    from rechorus_tpu.data.context import is_categorical
+
+    d = ref.vec_size
+    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
+    fused_lin = np.zeros((schema.total_vocab, 1), dtype=np.float32)
+    bank = {}
+    fj = 0
+    for name, off in zip(schema.names, schema.offsets):
+        if is_categorical(name):
+            w = ref.context_embedding[name].weight.detach().numpy()
+            fused[off: off + w.shape[0]] = w
+            fused_lin[off: off + w.shape[0]] = ref.linear_embedding[name].weight.detach().numpy()
+        else:
+            bank[f"float_emb_{fj}"] = {
+                "kernel": ref.context_embedding[name].weight.detach().numpy().T}
+            bank[f"float_lin_{fj}"] = {
+                "kernel": ref.linear_embedding[name].weight.detach().numpy().T}
+            fj += 1
+    bank["fused_table"] = {"embedding": fused}
+    bank["fused_linear"] = {"embedding": fused_lin}
+    return bank
+
+
+def test_fm_ctr_forward_parity(ctr_corpus):
+    from models.context.FM import FMCTR as TorchFMCTR
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    ref = TorchFMCTR(ref_args(), corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, loss_n="BCE", dropout=0.0, test_all=0,
+                              num_neg=0, model_path="", buffer=1)
+    model_cls = get_model("FMCTR")
+    model = model_cls.from_args(args, corpus)
+    schema = build_schema(corpus)
+    params = {"bank": _port_fm_tables(ref, corpus, schema),
+              "overall_bias": ref.overall_bias.detach().numpy()}
+
+    rng = np.random.default_rng(2)
+    B = 16
+    df = corpus.data_df["dev"]
+    rows = rng.choice(len(df), size=B, replace=False)
+    users = df["user_id"].to_numpy()[rows].astype(np.int32)
+    items = df["item_id"].to_numpy()[rows].astype(np.int32)
+    labels = df["label"].to_numpy()[rows].astype(np.float32)
+
+    # torch feed: per-feature columns, item-side [B, 1]
+    tf = {"user_id": t(users), "item_id": t(items[:, None]), "label": t(labels[:, None])}
+    for c in corpus.user_feature_names:
+        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
+    for c in corpus.item_feature_names:
+        tf[c] = t(np.asarray([[corpus.item_features[i][c]] for i in items]))
+    for c in corpus.situation_feature_names:
+        tf[c] = t(df[c].to_numpy()[rows])
+    with torch.no_grad():
+        ref_out = ref(tf)
+
+    import jax.numpy as jnp
+
+    situ_names = corpus.situation_feature_names
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items[:, None]),
+            "label": jnp.asarray(labels[:, None])}
+    situ_cat = [df[c].to_numpy()[rows] for c in situ_names if c.endswith(("_c", "_id"))]
+    situ_float = [df[c].to_numpy()[rows] for c in situ_names if c.endswith("_f")]
+    feed["situ_cat"] = jnp.asarray(np.stack(situ_cat, -1).astype(np.int32)) if situ_cat else jnp.zeros((B, 0), jnp.int32)
+    feed["situ_float"] = jnp.asarray(np.stack(situ_float, -1).astype(np.float32)) if situ_float else jnp.zeros((B, 0), jnp.float32)
+
+    variables = model.init({"params": __import__("jax").random.key(0)}, feed, training=False)
+    out = model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+                      feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+def test_din_forward_parity(ctr_corpus):
+    """DIN: target attention + Dice/BatchNorm DNN. Exercises the fused
+    feature bank, history feature join, masked unnormalized attention,
+    and the (fresh-stats) BatchNorm/Dice stack."""
+    from models.context_seq.DIN import DINTopK as TorchDIN
+
+    from rechorus_tpu.data.context import build_schema, is_categorical
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    rargs = ref_args(att_layers="[32]", dnn_layers="[24]", add_historical_situations=0,
+                     history_max=5)
+    ref = TorchDIN(rargs, corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, att_layers="[32]", dnn_layers="[24]",
+                              add_historical_situations=0, loss_n="BPR", dropout=0.0,
+                              test_all=0, num_neg=1, model_path="", buffer=1, history_max=5)
+    model_cls = get_model("DINTopK")
+    model = model_cls.from_args(args, corpus)
+    schema = build_schema(corpus)
+
+    d = 16
+    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
+    params = {}
+    for name, off in zip(schema.names, schema.offsets):
+        if is_categorical(name):
+            w = ref.embedding_dict[name].weight.detach().numpy()
+            fused[off: off + w.shape[0]] = w
+        else:
+            params[f"float_{name}"] = {
+                "kernel": ref.embedding_dict[name].weight.detach().numpy().T}
+    params["fused_table"] = {"embedding": fused}
+
+    def port_mlp(prefix, torch_layers):
+        out = {}
+        di = 0
+        for kind, idx in torch_layers:
+            sd = ref.state_dict()
+            if kind == "dense":
+                out[f"dense_{di}" if idx != "head" else "head"] = {
+                    "kernel": sd[f"{prefix}.mlp.{idx if idx != 'head' else torch_layers[-1][1]}.weight"].numpy().T,
+                    "bias": sd[f"{prefix}.mlp.{idx}.bias"].numpy()} if idx != "head" else None
+        return out
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params["att_mlp_layers"] = {
+        "dense_0": {"kernel": sd["att_mlp_layers.mlp.0.weight"].T,
+                    "bias": sd["att_mlp_layers.mlp.0.bias"]},
+        "head": {"kernel": sd["att_mlp_layers.mlp.2.weight"].T,
+                 "bias": sd["att_mlp_layers.mlp.2.bias"]},
+    }
+    params["dnn_mlp_layers"] = {
+        "dense_0": {"kernel": sd["dnn_mlp_layers.mlp.0.weight"].T,
+                    "bias": sd["dnn_mlp_layers.mlp.0.bias"]},
+        "bn_0": {"scale": sd["dnn_mlp_layers.mlp.1.weight"],
+                 "bias": sd["dnn_mlp_layers.mlp.1.bias"]},
+        "dice_0": {"alpha": sd["dnn_mlp_layers.mlp.2.alpha"],
+                   "bn": {"scale": sd["dnn_mlp_layers.mlp.2.bn.weight"],
+                          "bias": sd["dnn_mlp_layers.mlp.2.bn.bias"]}},
+        "head": {"kernel": sd["dnn_mlp_layers.mlp.3.weight"].T,
+                 "bias": sd["dnn_mlp_layers.mlp.3.bias"]},
+    }
+
+    rng = np.random.default_rng(4)
+    B, C, H = 6, 3, 5
+    n_users, n_items = corpus.n_users, corpus.n_items
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
+    hist = np.zeros((B, H), dtype=np.int32)
+    for b in range(B):
+        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
+    hours = rng.integers(0, 24, size=B).astype(np.int32)
+
+    def ifeat(ids, c):
+        flat = np.asarray([corpus.item_features[i][c] if i > 0 else 0 for i in ids.ravel()])
+        return flat.reshape(ids.shape)
+
+    tf = {"user_id": t(users), "item_id": t(items), "lengths": t(lengths),
+          "history_item_id": t(hist), "c_hour_c": t(hours)}
+    for c in corpus.user_feature_names:
+        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
+    for c in corpus.item_feature_names:
+        tf[c] = t(ifeat(items, c))
+        tf["history_" + c] = t(ifeat(hist, c))
+    with torch.no_grad():
+        ref_out = ref(tf)
+
+    import jax
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths),
+            "situ_cat": jnp.asarray(hours[:, None]),
+            "situ_float": jnp.zeros((B, 0), jnp.float32)}
+    variables = model.init({"params": jax.random.key(0)}, feed, training=False)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    out = model.apply({"params": params, **extra}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=2e-5)

@@ -35,7 +35,60 @@ def parse_args(argv=None):
     parser.add_argument("--n", type=int, default=5, help="Repeat times of each command.")
     parser.add_argument("--skip", type=int, default=0, help="skip number.")
     parser.add_argument("--gpu", type=str, default="0", help="Kept for CLI parity.")
+    parser.add_argument("--inproc", type=int, default=1,
+                        help="Run seeds in-process, reusing the compiled epoch/eval "
+                             "fns across seeds (only seed 0 pays the XLA compile). "
+                             "0 = reference-parity subprocess mode.")
     return parser.parse_args(argv)
+
+
+def run_inproc(cmd: str, seeds: List[int]) -> List[dict]:
+    """All seeds of one command in this process: the corpus, model,
+    batchers and the runner's compiled fns are built once (seed only
+    affects init + shuffling), so seeds 1..n-1 skip compilation entirely."""
+    import shlex
+
+    from rechorus_tpu import main as main_mod
+    from rechorus_tpu import registry
+
+    tokens = shlex.split(cmd)
+    # strip any "python[3] [-m] rechorus_tpu.main|main.py" prefix
+    while tokens and not tokens[0].startswith("--"):
+        tokens.pop(0)
+
+    import argparse as _ap
+
+    init_parser = _ap.ArgumentParser(add_help=False)
+    init_parser.add_argument("--model_name", type=str, default="BPRMF")
+    init_parser.add_argument("--model_mode", type=str, default="")
+    init_args, _ = init_parser.parse_known_args(tokens)
+    model_cls = registry.get_model(init_args.model_name, init_args.model_mode)
+    reader_cls = registry.get_reader(model_cls.reader)
+    runner_cls = registry.get_runner(model_cls.runner)
+
+    parser = _ap.ArgumentParser(parents=[init_parser])
+    parser = main_mod.parse_global_args(parser)
+    parser = reader_cls.parse_data_args(parser)
+    parser = runner_cls.parse_runner_args(parser)
+    parser = model_cls.parse_model_args(parser)
+    args, extras = parser.parse_known_args(tokens)
+    if args.model_path == "":
+        args.model_path = "../model/{}/exp__{}.bin".format(
+            init_args.model_name + init_args.model_mode, args.dataset)
+
+    from rechorus_tpu.utils import io as utils
+
+    utils.init_logging(args.log_file, args.verbose)
+    main_mod.enable_compilation_cache(args)
+    stack = main_mod.build_stack(args, model_cls, reader_cls, runner_cls)
+    infos = []
+    for seed in seeds:
+        args.random_seed = seed
+        _, info = main_mod.train_and_eval(args, *stack, seed)
+        print("  seed {}: {} [{} s]".format(seed, info.get("Test", "?"), info.get("Time", "?")),
+              flush=True)
+        infos.append(info)
+    return infos
 
 
 def find_info(result: List[str]) -> dict:
@@ -55,6 +108,23 @@ def find_info(result: List[str]) -> dict:
             if m:
                 info["Test"] = m.group(1)
     return info
+
+
+def _append_mean_row(df, model_name: str, n: int):
+    """Mean-of-last-n-seeds summary row (reference exp.py:62-74)."""
+    info = {"Model": model_name}
+    tests = [t for t in df["Test"].tolist()[-n:] if isinstance(t, str) and t]
+    if tests:
+        tuples = [[(m.split(":")[0], float(m.split(":")[1])) for m in t.split(",")]
+                  for t in tests]
+        info["Test"] = ",".join(
+            "{}:{:<.4f}".format(tuples[0][mi][0], np.average([t[mi][1] for t in tuples]))
+            for mi in range(len(tuples[0])))
+        iters = [int(float(x)) for x in df["Best Iter"].tolist()[-n:]
+                 if str(x).replace(".", "").isdigit()]
+        if iters:
+            info["Best Iter"] = "%.1f" % np.mean(iters)
+    df.loc[len(df)] = [info.get(c, "") for c in COLUMNS]
 
 
 def main(argv=None):
@@ -78,6 +148,37 @@ def main(argv=None):
             continue
         m = re.search(r"--model_name (\w+)", cmd)
         model_name = m.group(1) if m else ""
+
+        # in-process multi-seed: one compile, n seeds. Commands that embed
+        # ${random_seed} in file names need true per-seed reruns -> subprocess.
+        if args.inproc and "${random_seed}" not in cmd and " --random_seed" not in cmd:
+            seeds = list(range(args.base_seed, args.base_seed + args.n))
+            if skip >= len(seeds):
+                skip -= len(seeds)
+                seeds = []
+            elif skip > 0:
+                seeds, skip = seeds[skip:], 0
+            if seeds:
+                print(cmd, "-> seeds", seeds, "(in-process)")
+                try:
+                    infos = run_inproc(cmd, seeds)
+                except Exception:
+                    traceback.print_exc()
+                    infos = []
+                for info in infos:
+                    info["Run CMD"] = cmd
+                    if args.n == 1:
+                        info["Model"] = model_name
+                    df.loc[len(df)] = [info.get(c, "") for c in COLUMNS]
+                df.to_csv(out_path, index=False)
+                print(df[COLUMNS[:5]])
+            if args.n > 1:
+                _append_mean_row(df, model_name, args.n)
+                print(df[COLUMNS[:5]])
+            for _ in range(3):
+                df.loc[len(df)] = [""] * len(COLUMNS)
+            df.to_csv(out_path, index=False)
+            continue
 
         for i in range(args.base_seed, args.base_seed + args.n):
             try:
@@ -105,18 +206,7 @@ def main(argv=None):
                 continue
 
         if args.n > 1:
-            info = {"Model": model_name}
-            tests = [t for t in df["Test"].tolist()[-args.n:] if isinstance(t, str) and t]
-            if tests:
-                tuples = [[(m.split(":")[0], float(m.split(":")[1])) for m in t.split(",")]
-                          for t in tests]
-                info["Test"] = ",".join(
-                    "{}:{:<.4f}".format(tuples[0][mi][0], np.average([t[mi][1] for t in tuples]))
-                    for mi in range(len(tuples[0])))
-                iters = [int(x) for x in df["Best Iter"].tolist()[-args.n:] if str(x).isdigit()]
-                if iters:
-                    info["Best Iter"] = "%.1f" % np.mean(iters)
-            df.loc[len(df)] = [info.get(c, "") for c in COLUMNS]
+            _append_mean_row(df, model_name, args.n)
             print(df[COLUMNS[:5]])
         for _ in range(3):
             df.loc[len(df)] = [""] * len(COLUMNS)

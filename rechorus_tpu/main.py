@@ -31,6 +31,10 @@ from rechorus_tpu.utils.rng import init_seed
 def parse_global_args(parser):
     parser.add_argument("--gpu", type=str, default="0",
                         help="Kept for CLI parity; device selection is JAX-managed on TPU.")
+    parser.add_argument("--xla_cache_dir", type=str,
+                        default=os.path.expanduser("~/.cache/rechorus_tpu_xla"),
+                        help="Persistent XLA compilation cache (repeat runs skip the "
+                             "20-40 s compile). Empty string disables.")
     parser.add_argument("--verbose", type=int, default=logging.INFO, help="Logging Level, 0, 10, ..., 50")
     parser.add_argument("--log_file", type=str, default="", help="Logging file path")
     parser.add_argument("--random_seed", type=int, default=0, help="Random seed of numpy and jax.")
@@ -116,28 +120,44 @@ def save_rec_results(args, corpus, model, runner, state, batchers, arrays, topk:
     logging.info("test Prediction results saved!")
 
 
-def main(args, model_cls, reader_cls, runner_cls):
-    logging.info("-" * 45 + " BEGIN: " + utils.get_time() + " " + "-" * 45)
-    exclude = ["check_epoch", "log_file", "model_path", "path", "pin_memory", "load",
-               "regenerate", "sep", "train", "verbose", "metric", "test_epoch", "buffer"]
-    logging.info(utils.format_arg_str(args, exclude_lst=exclude))
+def enable_compilation_cache(args):
+    cache_dir = getattr(args, "xla_cache_dir", "")
+    if cache_dir:
+        try:
+            import jax
 
-    init_seed(args.random_seed)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:  # cache is an optimization, never fatal
+            logging.warning("Could not enable XLA compilation cache: %s", e)
 
+
+def build_stack(args, model_cls, reader_cls, runner_cls):
+    """Corpus + runner + model + batchers + placed arrays -- everything
+    seed-independent. The in-process multi-seed mode (exp.py --inproc)
+    builds this ONCE and reuses the runner's compiled epoch/eval fns
+    across seeds, so only seed 0 pays the XLA compile."""
     corpus = build_corpus(args, reader_cls)
-
     # runner first: it owns the device mesh and (on multi-device runs)
     # sets the embedding-table row pad, which must precede model init
     runner = runner_cls(args)
-
-    # model + batchers
     model = model_cls.from_args(args, corpus)
     logging.info(model_cls.__name__)
     batcher_cls = get_batcher(model_cls.batcher)
     batchers = {phase: batcher_cls(corpus, model, phase, args) for phase in ["train", "dev", "test"]}
     arrays = {phase: runner.place_arrays(b.device_arrays()) for phase, b in batchers.items()}
+    return corpus, runner, model, batchers, arrays
 
-    state = runner.init_state(model, batchers["train"], args.random_seed)
+
+def train_and_eval(args, corpus, runner, model, batchers, arrays, seed: int):
+    """One seeded train+eval pass over a prebuilt stack; returns
+    (state, info) with the exp.py trailer fields."""
+    from time import time as _now
+
+    init_seed(seed)
+    runner.random_seed = seed
+    t0 = _now()
+    state = runner.init_state(model, batchers["train"], seed)
     logging.info("#params: {}".format(count_variables(state.params)))
 
     if args.load > 0:
@@ -152,13 +172,29 @@ def main(args, model_cls, reader_cls, runner_cls):
 
     eval_res = runner.print_res(state, model, batchers["dev"], arrays["dev"], "dev")
     logging.info(os.linesep + "Dev  After Training: " + eval_res)
-    eval_res = runner.print_res(state, model, batchers["test"], arrays["test"], "test")
-    logging.info("Test After Training: " + eval_res)
+    test_res = runner.print_res(state, model, batchers["test"], arrays["test"], "test")
+    logging.info("Test After Training: " + test_res)
 
     if args.save_final_results == 1:
         save_rec_results(args, corpus, model, runner, state, batchers, arrays)
 
     model.actions_after_train()
+    info = {"Test": test_res.strip("()"), "Seed": str(seed), "Time": "%.1f" % (_now() - t0)}
+    if getattr(runner, "last_best_epoch", None) is not None:
+        info["Best Iter"] = str(runner.last_best_epoch)
+    return state, info
+
+
+def main(args, model_cls, reader_cls, runner_cls):
+    logging.info("-" * 45 + " BEGIN: " + utils.get_time() + " " + "-" * 45)
+    exclude = ["check_epoch", "log_file", "model_path", "path", "pin_memory", "load",
+               "regenerate", "sep", "train", "verbose", "metric", "test_epoch", "buffer"]
+    logging.info(utils.format_arg_str(args, exclude_lst=exclude))
+
+    enable_compilation_cache(args)
+    init_seed(args.random_seed)
+    corpus, runner, model, batchers, arrays = build_stack(args, model_cls, reader_cls, runner_cls)
+    state, _ = train_and_eval(args, corpus, runner, model, batchers, arrays, args.random_seed)
     logging.info(os.linesep + "-" * 45 + " END: " + utils.get_time() + " " + "-" * 45)
     return state
 

@@ -78,6 +78,7 @@ class DINBase:
         )(att_in, training=training)[..., 0]  # [B, C, H]
         valid = (jnp.arange(H)[None, None, :] < lengths[:, None, None])
         w = jnp.where(valid, w, 0.0) / jnp.sqrt(D).astype(w.dtype)
+        self.sow("intermediates", "din_attention", w)  # check_list parity
         return jnp.einsum("bch,bhd->bcd", w, history_emb)
 
     def din_prediction(self, feed, training: bool):

@@ -233,6 +233,10 @@ class MultiHeadAttention(nn.Module):
             scores = jnp.where(mask, scores, -jnp.inf)
         attn = jax.nn.softmax(scores, axis=-1)
         attn = jnp.nan_to_num(attn)  # rows fully masked -> 0 (reference NaN guard)
+        # observability hook (reference check_list logs attention
+        # distributions, utils/utils.py:37-44): materialized only when
+        # apply() makes 'intermediates' mutable (BaseRunner.check)
+        self.sow("intermediates", "attention", attn)
         out = jnp.einsum("...qk,...kd->...qd", attn, vh)
         out = out.swapaxes(-2, -3).reshape(out.shape[:-3] + (q.shape[-2], att_d))
         if self.out_proj:

@@ -202,6 +202,23 @@ class BaseRunner:
         if "train" in self._compiled:
             return self._compiled["train"]
         tx = self._tx
+        step_fn = self._build_step_fn(model, batcher, arrays, tx)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(state: TrainState, perm: jnp.ndarray, epoch_key: jax.Array):
+            keys = jax.random.split(epoch_key, perm.shape[0])
+            state, losses = jax.lax.scan(step_fn, state, (perm, keys), unroll=self.scan_unroll)
+            return state, losses
+
+        # the tail batch (n % batch_size) runs at its TRUE smaller shape so
+        # no example is seen twice per epoch (reference smaller-last-batch
+        # semantics, BaseRunner.py:174-208); costs one extra compile
+        tail_fn = partial(jax.jit, donate_argnums=(0,))(
+            lambda state, idx, key: step_fn(state, (idx, key)))
+        self._compiled["train"] = (epoch_fn, tail_fn)
+        return self._compiled["train"]
+
+    def _build_step_fn(self, model, batcher, arrays, tx):
 
         def step_fn(state: TrainState, xs):
             idx, key = xs
@@ -258,14 +275,7 @@ class BaseRunner:
             )
             return new_state, loss
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def epoch_fn(state: TrainState, perm: jnp.ndarray, epoch_key: jax.Array):
-            keys = jax.random.split(epoch_key, perm.shape[0])
-            state, losses = jax.lax.scan(step_fn, state, (perm, keys), unroll=self.scan_unroll)
-            return state, losses.mean()
-
-        self._compiled["train"] = epoch_fn
-        return epoch_fn
+        return step_fn
 
     def _catalog_parts(self, model, variables, feed):
         """(u_vecs, item_table, bias) for catalog-protocol models; the
@@ -382,11 +392,20 @@ class BaseRunner:
 
     def fit(self, state: TrainState, model, batcher, arrays, epoch: int, rng_key) -> tuple:
         epoch_key = jax.random.fold_in(rng_key, epoch)
-        perm = np.asarray(jax.random.permutation(jax.random.fold_in(epoch_key, 1), len(batcher)))
-        idx_mat = self._place_index_matrix(self._batch_index_matrix(len(batcher), self.batch_size, perm))
-        epoch_fn = self._get_epoch_fn(model, batcher, arrays)
-        state, loss = epoch_fn(state, idx_mat, jax.random.fold_in(epoch_key, 2))
-        return state, float(loss)
+        n, B = len(batcher), self.batch_size
+        perm = np.asarray(jax.random.permutation(jax.random.fold_in(epoch_key, 1), n))
+        n_full, n_tail = n // B, n % B
+        epoch_fn, tail_fn = self._get_epoch_fn(model, batcher, arrays)
+        losses_sum, n_steps = 0.0, 0
+        if n_full:
+            idx_mat = self._place_index_matrix(perm[: n_full * B].reshape(n_full, B).astype(np.int32))
+            state, losses = epoch_fn(state, idx_mat, jax.random.fold_in(epoch_key, 2))
+            losses_sum, n_steps = losses.sum(), n_full
+        if n_tail:
+            tail_idx = jnp.asarray(perm[n_full * B:].astype(np.int32))
+            state, tail_loss = tail_fn(state, tail_idx, jax.random.fold_in(epoch_key, 3))
+            losses_sum, n_steps = losses_sum + tail_loss, n_steps + 1
+        return state, float(losses_sum) / n_steps
 
     def predict_ranks(self, state: TrainState, model, batcher, arrays, phase: str) -> np.ndarray:
         n = len(batcher)
@@ -480,12 +499,17 @@ class BaseRunner:
                 else:
                     state, loss = self.fit(state, model, batchers["train"], arrays["train"], epoch + 1, rng_key)
             except KeyboardInterrupt:
-                # reference BaseRunner.py:161-166 asks interactively
+                # reference BaseRunner.py:161-166 asks interactively; in
+                # headless runs (CI, nohup) stdin is not a tty -- input()
+                # would hang forever, so just stop and evaluate
+                import sys as _sys
+
                 logging.info("Early stop manually")
-                exit_here = input("Exit completely without evaluation? (y/n) (default n):")
-                if exit_here.lower().startswith("y"):
-                    logging.info(os.linesep + "-" * 45 + " END: " + utils.get_time() + " " + "-" * 45)
-                    raise SystemExit(1)
+                if _sys.stdin.isatty():
+                    exit_here = input("Exit completely without evaluation? (y/n) (default n):")
+                    if exit_here.lower().startswith("y"):
+                        logging.info(os.linesep + "-" * 45 + " END: " + utils.get_time() + " " + "-" * 45)
+                        raise SystemExit(1)
                 break
             if np.isnan(loss):
                 logging.info("Loss is Nan. Stop training at %d." % (epoch + 1))
@@ -494,7 +518,7 @@ class BaseRunner:
             if training_time > 0:
                 logging.debug("throughput: %.0f examples/s/chip", n_train / training_time)
             if self.check_epoch > 0 and (epoch == 0 or (epoch + 1) % self.check_epoch == 0):
-                self.check(state)
+                self.check(state, model, batchers["dev"], arrays["dev"])
 
             dev_result = self.evaluate(
                 state, model, batchers["dev"], arrays["dev"], "dev", [self.main_topk], self.metrics
@@ -526,6 +550,7 @@ class BaseRunner:
                 break
 
         best_epoch = main_metric_results.index(max(main_metric_results))
+        self.last_best_epoch = best_epoch + 1  # exp.py in-process trailer
         logging.info(
             os.linesep
             + "Best Iter(dev)={:>5}\t dev=({}) [{:<.1f} s] ".format(
@@ -534,10 +559,12 @@ class BaseRunner:
         )
         return best_state
 
-    def check(self, state: TrainState):
+    def check(self, state: TrainState, model=None, batcher=None, arrays=None):
         """Tensor observation every --check_epoch epochs (reference
-        utils.check, utils/utils.py:37-44, logs the model's check_list;
-        here: per-top-level-param-group mean|value| -- drift/NaN watch)."""
+        utils.check, utils/utils.py:37-44, logs the model's check_list):
+        per-param-group mean|w| (drift/NaN watch) plus statistics of every
+        intermediate the model `sow`s (attention distributions, gate
+        values, ...) on one dev batch."""
         import jax
 
         lines = []
@@ -546,6 +573,22 @@ class BaseRunner:
             if leaves:
                 mean_abs = float(np.mean([float(jnp.abs(x).mean()) for x in leaves]))
                 lines.append("{:<20} mean|w|={:.4f}".format(name, mean_abs))
+        if model is not None and batcher is not None:
+            try:
+                idx = jnp.arange(min(self.eval_batch_size, len(batcher)), dtype=jnp.int32)
+                feed = batcher.eval_feed(arrays, idx)
+                variables = {"params": state.params, **state.extra_vars}
+                _, mods = model.apply(variables, feed, training=False, mutable=["intermediates"])
+                flat = flax.traverse_util.flatten_dict(mods.get("intermediates", {}))
+                for path, vals in flat.items():
+                    for v in (vals if isinstance(vals, (tuple, list)) else [vals]):
+                        v = np.asarray(v)
+                        lines.append(
+                            "{:<40} shape={} mean={:.4f} std={:.4f} max={:.4f}".format(
+                                "/".join(map(str, path)), "x".join(map(str, v.shape)),
+                                float(v.mean()), float(v.std()), float(v.max())))
+            except Exception as e:  # observability must never kill training
+                lines.append(f"(intermediates unavailable: {e})")
         logging.info(os.linesep.join([os.linesep] + lines) + os.linesep)
 
     def eval_termination(self, criterion: List[float]) -> bool:

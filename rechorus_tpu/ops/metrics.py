@@ -250,7 +250,8 @@ def evaluate_impression(
     return evaluations
 
 
-def masked_topk(pred, clicked_rows, k: int, n_valid: int | None = None):
+def masked_topk(pred, clicked_rows, k: int, n_valid: int | None = None,
+                approx: bool = False):
     """Gather-only top-k with exclusions (no -inf scatters, which serialize
     on TPU): column 0 (pad item), columns >= n_valid (dead padded table
     rows), and the ids in clicked_rows [B, M] (0-padded). Two-stage: take
@@ -268,7 +269,13 @@ def masked_topk(pred, clicked_rows, k: int, n_valid: int | None = None):
         tail_ok = tail_ok & (cols < n_valid)
     pred = jnp.where(tail_ok[None, :], pred, -jnp.inf)
     k_wide = min(N, k + clicked_rows.shape[1])
-    v, i = jax.lax.top_k(pred, k_wide)
+    if approx:
+        # TPU PartialReduce (lax.approx_max_k): ~9x faster than the full
+        # sort at recall ~0.98 -- the serving path's flag-gated fast lane
+        v, i = jax.lax.approx_max_k(pred, k_wide, recall_target=0.98)
+        i = i.astype(jnp.int32)
+    else:
+        v, i = jax.lax.top_k(pred, k_wide)
     hit = (i[:, :, None] == clicked_rows[:, None, :].astype(i.dtype)).any(-1)
     v = jnp.where(hit, -jnp.inf, v)
     v2, sel = jax.lax.top_k(v, min(k, k_wide))

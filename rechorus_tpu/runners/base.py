@@ -103,6 +103,10 @@ class BaseRunner:
         parser.add_argument("--scan_unroll", type=int, default=1,
                             help="Unroll factor of the per-epoch training scan (amortizes "
                                  "per-step sequencing overhead for small models).")
+        parser.add_argument("--approx_topk", type=int, default=0,
+                            help="Approximate full-catalog top-k for the prediction "
+                                 "export (TPU PartialReduce, ~9x faster at recall ~0.98). "
+                                 "Metrics/eval stay exact.")
         parser.add_argument("--data_parallel", type=int, default=1,
                             help="Devices on the 'data' mesh axis (batch sharding).")
         parser.add_argument("--model_parallel", type=int, default=1,
@@ -130,6 +134,7 @@ class BaseRunner:
         self.random_seed = getattr(args, "random_seed", 0)
         self.profile_dir = getattr(args, "profile", "")
         self.scan_unroll = max(1, getattr(args, "scan_unroll", 1))
+        self.approx_topk = bool(getattr(args, "approx_topk", 0))
         self.time = None
         self._compiled = {}
         self.mesh = None
@@ -438,12 +443,14 @@ class BaseRunner:
                         else:
                             pred = self._dense_catalog_scores(u, table, bias, n_items)
                             scores, items = metrics_ops.masked_topk(
-                                pred, feed["_clicked_rows"], k, n_valid=n_items)
+                                pred, feed["_clicked_rows"], k, n_valid=n_items,
+                                approx=self.approx_topk)
                     else:
                         pred = model.apply(variables, feed, training=False)["prediction"]
                         # gather-only exclusion of item 0 + clicked rows
                         # (the old .at[].set(-inf) scatter serialized on TPU)
-                        scores, cols = metrics_ops.masked_topk(pred, feed["_clicked_rows"], k)
+                        scores, cols = metrics_ops.masked_topk(pred, feed["_clicked_rows"], k,
+                                                               approx=self.approx_topk)
                         items = jnp.take_along_axis(feed["item_id"], cols, axis=1)
                     return variables, (items, scores)
                 out = model.apply(variables, feed, training=False)

@@ -142,3 +142,21 @@ def test_sharded_catalog_eval_matches_dense(corpus):
             np.testing.assert_allclose(scores_s[diff], scores_d[diff], rtol=2e-5, atol=1e-5)
     finally:
         M.set_table_row_pad(1)
+
+
+def test_masked_topk_approx_recall():
+    """--approx_topk lane: exclusions still exact, recall vs exact top-k
+    high (lax.approx_max_k recall_target=0.98; on CPU it falls back to
+    exact so this bounds the contract, the TPU speed is measured in
+    scripts/prod_bench.py)."""
+    rng = np.random.default_rng(9)
+    B, N, M, k = 8, 2000, 20, 100
+    pred = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+    clicked = jnp.asarray(rng.integers(1, N, size=(B, M)), dtype=jnp.int32)
+    ve, ie = masked_topk(pred, clicked, k)
+    va, ia = masked_topk(pred, clicked, k, approx=True)
+    assert not np.isin(np.asarray(ia), [0]).any()
+    for b in range(B):
+        assert not np.isin(np.asarray(ia)[b], np.asarray(clicked)[b]).any()
+        recall = len(set(np.asarray(ia)[b]) & set(np.asarray(ie)[b])) / k
+        assert recall >= 0.9, recall

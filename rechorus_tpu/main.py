@@ -35,6 +35,9 @@ def parse_global_args(parser):
                         default=os.path.expanduser("~/.cache/rechorus_tpu_xla"),
                         help="Persistent XLA compilation cache (repeat runs skip the "
                              "20-40 s compile). Empty string disables.")
+    from rechorus_tpu.parallel.distributed import parse_dist_args
+
+    parser = parse_dist_args(parser)
     parser.add_argument("--verbose", type=int, default=logging.INFO, help="Logging Level, 0, 10, ..., 50")
     parser.add_argument("--log_file", type=str, default="", help="Logging file path")
     parser.add_argument("--random_seed", type=int, default=0, help="Random seed of numpy and jax.")
@@ -191,6 +194,9 @@ def main(args, model_cls, reader_cls, runner_cls):
                "regenerate", "sep", "train", "verbose", "metric", "test_epoch", "buffer"]
     logging.info(utils.format_arg_str(args, exclude_lst=exclude))
 
+    from rechorus_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize(args)  # multi-host: must precede any other JAX call
     enable_compilation_cache(args)
     init_seed(args.random_seed)
     corpus, runner, model, batchers, arrays = build_stack(args, model_cls, reader_cls, runner_cls)

@@ -99,7 +99,7 @@ def shard_params(params, mesh: Mesh):
 
     def place(path, v):
         spec = param_spec(tuple(p.key for p in path), v, model_size=m)
-        return jax.device_put(v, NamedSharding(mesh, spec))
+        return global_put(v, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
@@ -113,9 +113,19 @@ def shard_state(state, tx, mesh: Mesh):
     opt_state = tx.init(params)
     rep = replicated(mesh)
     extra = jax.tree.map(
-        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state.extra_vars
+        lambda x: global_put(x, rep) if hasattr(x, "shape") else x, state.extra_vars
     )
     return state.replace(params=params, opt_state=opt_state, extra_vars=extra)
+
+
+def global_put(x, sharding: NamedSharding):
+    """device_put that also works multi-host: every process holds the
+    same full host array (identically-seeded), and each serves only its
+    addressable shards -- batch sharding with zero communication."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -352,10 +352,19 @@ class BaseRunner:
         def eval_fn(params, extra_vars, idx_mat):
             variables = {"params": params, **extra_vars}
             _, ranks = jax.lax.scan(rank_step, variables, idx_mat)
-            return ranks.reshape(-1)
+            return self._replicate_out(ranks.reshape(-1))
 
         self._compiled[phase] = eval_fn
         return eval_fn
+
+    def _replicate_out(self, x):
+        """Pin eval outputs replicated so every host can read them
+        (multi-host: np.asarray only sees addressable shards)."""
+        if self.mesh is None:
+            return x
+        from rechorus_tpu.parallel.mesh import replicated
+
+        return jax.lax.with_sharding_constraint(x, replicated(self.mesh))
 
     def _post_update(self, model, params, extra_vars):
         """Traced hook after each optimizer step (see BUIRRunner)."""
@@ -375,24 +384,26 @@ class BaseRunner:
         inherit the sharding, so activations+grads are data-parallel)."""
         if self.mesh is None:
             return jnp.asarray(idx_mat)
-        from rechorus_tpu.parallel.mesh import index_matrix_sharding, replicated
+        from rechorus_tpu.parallel.mesh import global_put, index_matrix_sharding, replicated
 
         dp = self.mesh.shape.get("data", 1)
-        if idx_mat.shape[1] % dp == 0:
-            return jax.device_put(idx_mat, index_matrix_sharding(self.mesh))
+        if idx_mat.shape[-1] % dp == 0:
+            spec = index_matrix_sharding(self.mesh) if idx_mat.ndim == 2 \
+                else jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("data"))
+            return global_put(idx_mat, spec)
         logging.warning("batch %d not divisible by data axis %d; replicating batches",
-                        idx_mat.shape[1], dp)
-        return jax.device_put(idx_mat, replicated(self.mesh))
+                        idx_mat.shape[-1], dp)
+        return global_put(idx_mat, replicated(self.mesh))
 
     def place_arrays(self, arrays: dict) -> dict:
         """Replicate corpus-derived device arrays over the mesh (no-op
         single-device)."""
         if self.mesh is None:
             return arrays
-        from rechorus_tpu.parallel.mesh import replicated
+        from rechorus_tpu.parallel.mesh import global_put, replicated
 
         rep = replicated(self.mesh)
-        return {k: jax.device_put(v, rep) if hasattr(v, "shape") else v
+        return {k: global_put(v, rep) if hasattr(v, "shape") else v
                 for k, v in arrays.items()}
 
     def fit(self, state: TrainState, model, batcher, arrays, epoch: int, rng_key) -> tuple:
@@ -407,7 +418,7 @@ class BaseRunner:
             state, losses = epoch_fn(state, idx_mat, jax.random.fold_in(epoch_key, 2))
             losses_sum, n_steps = losses.sum(), n_full
         if n_tail:
-            tail_idx = jnp.asarray(perm[n_full * B:].astype(np.int32))
+            tail_idx = self._place_index_matrix(perm[n_full * B:].astype(np.int32))
             state, tail_loss = tail_fn(state, tail_idx, jax.random.fold_in(epoch_key, 3))
             losses_sum, n_steps = losses_sum + tail_loss, n_steps + 1
         return state, float(losses_sum) / n_steps
@@ -467,7 +478,8 @@ class BaseRunner:
             def topk_fn(params, extra_vars, idx_mat):
                 variables = {"params": params, **extra_vars}
                 _, (items, scores) = jax.lax.scan(step, variables, idx_mat)
-                return items.reshape(-1, items.shape[-1]), scores.reshape(-1, scores.shape[-1])
+                return (self._replicate_out(items.reshape(-1, items.shape[-1])),
+                        self._replicate_out(scores.reshape(-1, scores.shape[-1])))
 
             self._compiled[cache_key] = topk_fn
         n = len(batcher)

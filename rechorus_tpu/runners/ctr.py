@@ -42,7 +42,8 @@ class CTRRunner(BaseRunner):
         def eval_fn(params, extra_vars, idx_mat):
             variables = {"params": params, **extra_vars}
             _, (preds, labels) = jax.lax.scan(pred_step, variables, idx_mat)
-            return preds.reshape(-1), labels.reshape(-1)
+            return (self._replicate_out(preds.reshape(-1)),
+                    self._replicate_out(labels.reshape(-1)))
 
         self._compiled[phase] = eval_fn
         return eval_fn

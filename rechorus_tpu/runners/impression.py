@@ -40,9 +40,9 @@ class ImpressionRunner(BaseRunner):
             variables = {"params": params, **extra_vars}
             _, (preds, pos_num, neg_num) = jax.lax.scan(pred_step, variables, idx_mat)
             return (
-                preds.reshape(-1, preds.shape[-1]),
-                pos_num.reshape(-1),
-                neg_num.reshape(-1),
+                self._replicate_out(preds.reshape(-1, preds.shape[-1])),
+                self._replicate_out(pos_num.reshape(-1)),
+                self._replicate_out(neg_num.reshape(-1)),
             )
 
         self._compiled[phase] = eval_fn

@@ -135,10 +135,15 @@ def make_impression_dataset(
     n_impressions: int = 8,
     n_groups: int = 4,
     seed: int = 2,
+    noise: float = 0.0,
 ):
     """Impression rows: several rows per (user, time) request; positives
     biased to the user's group so ranking positives above negatives is
-    learnable. Splits: last impression -> test, second-to-last -> dev."""
+    learnable. Splits: last impression -> test, second-to-last -> dev.
+
+    noise > 0 makes the task mid-SNR (each pos/neg drawn from the WRONG
+    pool with that probability) so metrics land well below 1.0 -- a
+    saturated task cannot detect a subtly wrong loss (cross_parity)."""
     rng = np.random.default_rng(seed)
     all_items = np.arange(1, n_items + 1)
     rows = []
@@ -151,8 +156,10 @@ def make_impression_dataset(
             t = t0 + imp * 86400
             n_pos = int(rng.integers(1, 4))
             n_neg = int(rng.integers(3, 7))
-            pos = rng.choice(group_items, size=n_pos, replace=False)
-            neg = rng.choice(other_items, size=n_neg, replace=False)
+            pos = [int(rng.choice(other_items if rng.random() < noise else group_items))
+                   for _ in range(n_pos)]
+            neg = [int(rng.choice(group_items if rng.random() < noise else other_items))
+                   for _ in range(n_neg)]
             for it in pos:
                 rows.append((u, int(it), t, 1))
             for it in neg:

@@ -82,7 +82,8 @@ def gen_data():
                          n_users=400, n_items=120, n_per_user=20, expose_bias=0.6)
     if not os.path.exists(os.path.join(shared, "SynthImpBig")):
         make_impression_dataset(os.path.join(shared, "SynthImpBig"),
-                                n_users=250, n_items=120, n_impressions=10)
+                                n_users=250, n_items=120, n_impressions=10,
+                                noise=0.3)
     for side in ("ref", "tpu"):
         for ds in ("SynthCTRBig", "SynthImpBig"):
             dst = os.path.join(WORK, side, ds)

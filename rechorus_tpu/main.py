@@ -206,6 +206,15 @@ def main(args, model_cls, reader_cls, runner_cls):
 
 
 def build_parser_and_run(argv=None):
+    # this image's TPU init hook overrides the JAX_PLATFORMS env var;
+    # re-assert it so `JAX_PLATFORMS=cpu python -m rechorus_tpu.main ...`
+    # reliably runs off the (exclusive) TPU tunnel
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     init_parser = argparse.ArgumentParser(description="Model", add_help=False)
     init_parser.add_argument("--model_name", type=str, default="BPRMF", help="Choose a model to run.")
     init_parser.add_argument("--model_mode", type=str, default="", help="Task mode suffix (e.g. CTR, TopK, Impression).")

@@ -28,16 +28,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_SRC = "/root/reference/src"
 WORK = "/tmp/parity_data"
 
-# wrapper so the (numpy<1.24-era) reference runs under this numpy
+# wrapper so the (numpy<1.24-era) reference runs under this numpy; cwd is
+# free (rerank runs need ./model/... to resolve under /tmp, never inside
+# the read-only reference tree)
 REF_WRAPPER = """
 import numpy as np, os, sys, runpy
 for name, val in (("int", int), ("float", float), ("bool", bool), ("object", object)):
     if name not in np.__dict__:
         setattr(np, name, val)
-sys.path.insert(0, os.getcwd())  # `python main.py` would add the script dir
+sys.path.insert(0, {ref_src!r})
 sys.argv = ["main.py"] + sys.argv[1:]
-runpy.run_path("main.py", run_name="__main__")
-"""
+runpy.run_path(os.path.join({ref_src!r}, "main.py"), run_name="__main__")
+""".format(ref_src=REF_SRC)
 
 CONFIGS = {
     "ctr": [
@@ -105,7 +107,8 @@ def parse_metrics(text: str) -> dict:
     return out
 
 
-def run_one(side: str, name: str, mode: str, extra: list, dataset: str, seed: int) -> dict:
+def run_one(side: str, name: str, mode: str, extra: list, dataset: str, seed: int,
+            model_path: str = None, cwd: str = None) -> dict:
     data_path = os.path.join(WORK, side)
     logdir = os.path.join(WORK, "logs", side)
     os.makedirs(logdir, exist_ok=True)
@@ -113,18 +116,20 @@ def run_one(side: str, name: str, mode: str, extra: list, dataset: str, seed: in
     log_file = os.path.join(logdir, tag + ".txt")
     args = ["--model_name", name, "--model_mode", mode, "--random_seed", str(seed),
             "--path", data_path, "--dataset", dataset,
-            "--log_file", log_file, "--model_path", os.path.join(logdir, tag + ".bin"),
+            "--log_file", log_file,
+            "--model_path", model_path or os.path.join(logdir, tag + ".bin"),
             ] + extra + COMMON
     if side == "ref":
         wrapper = os.path.join(WORK, "_ref_main.py")
         with open(wrapper, "w") as f:
             f.write(REF_WRAPPER)
         cmd = [sys.executable, wrapper] + args
-        cwd = REF_SRC
+        cwd = cwd or REF_SRC
     else:
         cmd = [sys.executable, "-m", "rechorus_tpu.main"] + args
-        cwd = REPO
+        cwd = cwd or REPO
     env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if side != "ref":
         # metric parity is about algorithm semantics; CPU keeps the run
         # fast (tiny data) and off the exclusive TPU tunnel
@@ -142,6 +147,70 @@ def run_one(side: str, name: str, mode: str, extra: list, dataset: str, seed: in
     return metrics
 
 
+RERANKERS = [
+    ("PRM", "General", ["--emb_size", "32", "--n_blocks", "2", "--num_heads", "2",
+                        "--num_hidden_unit", "32",
+                        "--lr", "1e-3", "--l2", "1e-6"]),
+    ("MIR", "General", ["--emb_size", "32", "--num_heads", "2", "--num_hidden_unit", "32",
+                        "--history_max", "10", "--lr", "1e-3", "--l2", "1e-6"]),
+]
+IMP_METRICS = ["--loss_n", "BPR", "--metric", "NDCG,HR", "--topk", "1,3,5",
+               "--main_metric", "NDCG@3"]
+
+
+def run_rerank_family(seeds):
+    """Two-stage parity: train the reference/our BPRMF-Impression backbone,
+    expose it as a frozen ranker (yaml + checkpoint under <side>work/model/
+    BPRMFImpression/, the reference resolves ./model/... from cwd), then
+    run each reranker over it."""
+    rows = []
+    for side in ("ref", "tpu"):
+        work = os.path.join(WORK, side + "work")
+        rdir = os.path.join(work, "model", "BPRMFImpression")
+        os.makedirs(rdir, exist_ok=True)
+        results = {}
+        for seed in seeds:
+            ext = ".pt" if side == "ref" else ".bin"
+            ranker_file = f"ranker_{seed}{ext}"
+            print(f"[{side}] backbone BPRMFImpression seed={seed} ...", flush=True)
+            m = run_one(side, "BPRMF", "Impression",
+                        ["--emb_size", "32"] + IMP_METRICS, "SynthImpBig", seed,
+                        model_path=os.path.join(rdir, ranker_file), cwd=work)
+            print(f"   -> {m}", flush=True)
+            with open(os.path.join(rdir, f"ranker_{seed}.yaml"), "w") as f:
+                f.write("emb_size: 32\n")
+            for name, mode, extra in RERANKERS:
+                print(f"[{side}] {name}{mode} over BPRMF seed={seed} ...", flush=True)
+                m = run_one(side, name, mode,
+                            extra + IMP_METRICS + [
+                                "--ranker_name", "BPRMF",
+                                "--ranker_config_file", f"ranker_{seed}.yaml",
+                                "--ranker_model_file", ranker_file],
+                            "SynthImpBig", seed, cwd=work)
+                print(f"   -> {m}", flush=True)
+                if m:
+                    results.setdefault((name, mode), []).append(m)
+        for (name, mode), runs in results.items():
+            for key in ("NDCG@3", "HR@3"):
+                vals = [m[key] for m in runs if key in m]
+                rows.append((f"{name}{mode}+BPRMF", "SynthImpBig", key, side, vals))
+    # fold per-side rows into the comparison shape
+    merged = {}
+    for model, ds, key, side, vals in rows:
+        merged.setdefault((model, ds, key), {})[side] = vals
+    out = []
+    for (model, ds, key), d in merged.items():
+        rv, tv = d.get("ref", []), d.get("tpu", [])
+        if rv and tv:
+            rm, tm = sum(rv) / len(rv), sum(tv) / len(tv)
+            spread = max(max(rv) - min(rv), max(tv) - min(tv), 0.01)
+            ok = abs(rm - tm) <= max(0.02, 1.5 * spread)
+        else:
+            ok = None
+        out.append((model, ds, key, rv, tv, ok))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="ctr,impression")
@@ -153,6 +222,9 @@ def main():
 
     rows = []
     for fam in a.families.split(","):
+        if fam == "rerank":
+            rows.extend(run_rerank_family(seeds))
+            continue
         for name, mode, extra, dataset in CONFIGS[fam]:
             per_side = {}
             for side in ("ref", "tpu"):

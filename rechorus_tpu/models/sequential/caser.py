@@ -20,6 +20,7 @@ from rechorus_tpu.registry import register_model
 @register_model("Caser")
 class Caser(SequentialModel):
     extra_log_args: ClassVar[list] = ["emb_size", "num_horizon", "num_vertical", "L"]
+    supports_catalog: ClassVar[bool] = True
 
     emb_size: int = 64
     num_horizon: int = 16
@@ -35,9 +36,8 @@ class Caser(SequentialModel):
         return SequentialModel.parse_model_args(parser)
 
     @nn.compact
-    def __call__(self, feed, training: bool = False):
+    def __call__(self, feed, training: bool = False, catalog: bool = False):
         u_ids = feed["user_id"]
-        i_ids = feed["item_id"]
         history = feed["history_items"]  # [B, max_his]
         B, L_seq = history.shape
 
@@ -67,6 +67,8 @@ class Caser(SequentialModel):
         z = nn.relu(dense(self.emb_size, name="fc")(jnp.concatenate(outs, axis=1)))
         his_vector = dense(self.emb_size, name="out")(jnp.concatenate([z, user_vector], axis=1))
 
-        i_vectors = i_emb(i_ids)
+        if catalog:
+            return {"u_v": his_vector}
+        i_vectors = i_emb(feed["item_id"])
         prediction = (his_vector[:, None, :] * i_vectors).sum(-1)
         return {"prediction": prediction}

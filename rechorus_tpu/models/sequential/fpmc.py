@@ -20,6 +20,7 @@ from rechorus_tpu.registry import register_model
 @register_model("FPMC")
 class FPMC(SequentialModel):
     extra_log_args: ClassVar[list] = ["emb_size"]
+    supports_catalog: ClassVar[bool] = True
 
     emb_size: int = 64
 
@@ -29,17 +30,28 @@ class FPMC(SequentialModel):
         return SequentialModel.parse_model_args(parser)
 
     @nn.compact
-    def __call__(self, feed, training: bool = False):
+    def __call__(self, feed, training: bool = False, catalog: bool = False):
         u_id = feed["user_id"]
-        i_ids = feed["item_id"]
         history = feed["history_items"]
         lengths = feed["lengths"]
         li_id = jnp.take_along_axis(history, jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
 
-        ui = embed(self.user_num, self.emb_size, "ui_embeddings")(u_id)
-        iu = embed(self.item_num, self.emb_size, "iu_embeddings")(i_ids)
-        li = embed(self.item_num, self.emb_size, "li_embeddings")(li_id)
-        il = embed(self.item_num, self.emb_size, "il_embeddings")(i_ids)
+        ui_emb = embed(self.user_num, self.emb_size, "ui_embeddings")
+        iu_emb = embed(self.item_num, self.emb_size, "iu_embeddings")
+        li_emb = embed(self.item_num, self.emb_size, "li_embeddings")
+        il_emb = embed(self.item_num, self.emb_size, "il_embeddings")
+        if catalog:
+            # score = ui.iu[i] + li.il[i] == [ui|li] . [iu|il][i]
+            # (computed table -> returned explicitly; XLA folds the
+            # arange-gather into the raw tables)
+            rows = jnp.arange(self.item_num, dtype=jnp.int32)
+            u_v = jnp.concatenate([ui_emb(u_id), li_emb(li_id)], axis=-1)
+            table = jnp.concatenate([iu_emb(rows), il_emb(rows)], axis=-1)
+            return {"u_v": u_v, "i_table": table}
+        ui = ui_emb(u_id)
+        iu = iu_emb(feed["item_id"])
+        li = li_emb(li_id)
+        il = il_emb(feed["item_id"])
 
         prediction = (ui[:, None, :] * iu).sum(-1) + (li[:, None, :] * il).sum(-1)
         return {"prediction": prediction}

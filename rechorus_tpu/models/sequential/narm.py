@@ -23,6 +23,7 @@ class NARM(SequentialModel):
     emb_size: int = 64
     hidden_size: int = 100
     attention_size: int = 50
+    supports_catalog: ClassVar[bool] = True
 
     @staticmethod
     def parse_model_args(parser):
@@ -31,14 +32,11 @@ class NARM(SequentialModel):
         parser.add_argument("--attention_size", type=int, default=50, help="Size of attention hidden space.")
         return SequentialModel.parse_model_args(parser)
 
-    @nn.compact
-    def __call__(self, feed, training: bool = False):
-        i_ids = feed["item_id"]
+    def encode(self, feed):
         history = feed["history_items"]
         lengths = feed["lengths"]
 
         i_emb = embed(self.item_num, self.emb_size, "i_embeddings")
-        i_vectors = i_emb(i_ids)
         his_vectors = i_emb(history)
 
         _, hidden_g = MaskedGRU(self.hidden_size, name="encoder_g")(his_vectors, lengths)
@@ -56,5 +54,13 @@ class NARM(SequentialModel):
         pred_vector = dense(self.emb_size, use_bias=False, name="out")(
             jnp.concatenate([hidden_g, c_l], axis=1)
         )
+        return pred_vector, i_emb
+
+    @nn.compact
+    def __call__(self, feed, training: bool = False, catalog: bool = False):
+        pred_vector, i_emb = self.encode(feed)
+        if catalog:
+            return {"u_v": pred_vector}
+        i_vectors = i_emb(feed["item_id"])
         prediction = (pred_vector[:, None, :] * i_vectors).sum(-1)
         return {"prediction": prediction}

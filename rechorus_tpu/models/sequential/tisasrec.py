@@ -65,6 +65,7 @@ class TiSASRec(SequentialModel):
     num_layers: int = 1
     num_heads: int = 4
     time_max: int = 512
+    supports_catalog: ClassVar[bool] = True
 
     @staticmethod
     def parse_model_args(parser):
@@ -75,8 +76,7 @@ class TiSASRec(SequentialModel):
         return SequentialModel.parse_model_args(parser)
 
     @nn.compact
-    def __call__(self, feed, training: bool = False):
-        i_ids = feed["item_id"]
+    def __call__(self, feed, training: bool = False, catalog: bool = False):
         history = feed["history_items"]
         t_history = feed["history_times"]
         user_min_t = feed["user_min_intervals"]  # [B]
@@ -108,6 +108,8 @@ class TiSASRec(SequentialModel):
 
         his_vector = jnp.take_along_axis(
             his_vectors, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1)[:, 0, :]
-        i_vectors = i_emb(i_ids)
+        if catalog:
+            return {"u_v": his_vector}
+        i_vectors = i_emb(feed["item_id"])
         prediction = (his_vector[:, None, :] * i_vectors).sum(-1)
         return {"prediction": prediction}

@@ -27,32 +27,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(n_devices: int, model_name: str, corpus, base_args) -> float:
+    """Product path: the runner owns the mesh (--data_parallel/
+    --model_parallel), shards state + batches itself."""
+    import copy
+
     import jax
 
     from rechorus_tpu import registry
     from rechorus_tpu.data.batching import get_batcher
-    from rechorus_tpu.parallel.mesh import make_mesh, replicated, shard_params
+    from rechorus_tpu.parallel import mesh as M
 
-    model_cls = registry.get_model(model_name)
-    model = model_cls.from_args(base_args, corpus)
-    runner = registry.get_runner(model_cls.runner)(base_args)
-    batcher = get_batcher(model_cls.batcher)(corpus, model, "train", base_args)
-
-    mesh = make_mesh(n_devices)
-    with jax.set_mesh(mesh):
+    args = copy.deepcopy(base_args)
+    args.model_parallel = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    args.data_parallel = n_devices // args.model_parallel
+    try:
+        model_cls = registry.get_model(model_name)
+        runner = registry.get_runner(model_cls.runner)(args)  # builds mesh, sets row pad
+        model = model_cls.from_args(args, corpus)
+        batcher = get_batcher(model_cls.batcher)(corpus, model, "train", args)
         state = runner.init_state(model, batcher, 0)
-        state = state.replace(params=shard_params(state.params, mesh))
-        arrays = {k: jax.device_put(v, replicated(mesh))
-                  for k, v in batcher.device_arrays().items()}
+        arrays = runner.place_arrays(batcher.device_arrays())
         key = jax.random.key(0)
-        state, _ = runner.fit(state, model, batcher, arrays, 0, key)  # compile
-        jax.block_until_ready(state.params)
+        state, loss = runner.fit(state, model, batcher, arrays, 0, key)  # compile
         n_epochs = 3
         t0 = time.perf_counter()
         for e in range(1, n_epochs + 1):
-            state, _ = runner.fit(state, model, batcher, arrays, e, key)
-        jax.block_until_ready(state.params)
+            state, loss = runner.fit(state, model, batcher, arrays, e, key)
+        # fit's float(loss) already syncs the whole epoch
         return (time.perf_counter() - t0) / n_epochs, len(batcher)
+    finally:
+        M.set_table_row_pad(1)
 
 
 def main():
@@ -63,6 +67,15 @@ def main():
     parser.add_argument("--path", type=str, default="data/")
     parser.add_argument("--batch_size", type=int, default=256)
     args = parser.parse_args()
+
+    # the image's TPU init hook overrides JAX_PLATFORMS; re-assert it and
+    # size the virtual CPU device pool to the largest requested mesh
+    sizes = [int(x) for x in args.sizes.split(",")]
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", max(sizes))
 
     from rechorus_tpu import registry
     from rechorus_tpu.data.synthetic import make_topk_dataset
@@ -85,7 +98,7 @@ def main():
     corpus = registry.get_reader(model_cls.reader)(base_args)
 
     base_rate = None
-    for n in [int(x) for x in args.sizes.split(",")]:
+    for n in sizes:
         t, n_ex = run_one(n, args.model, corpus, base_args)
         rate = n_ex / t
         if base_rate is None:

@@ -76,7 +76,7 @@ def test_masked_topk_n_valid_excludes_tail():
     assert (np.asarray(cols) < 20).all() and (np.asarray(cols) > 0).all()
 
 
-@pytest.mark.parametrize("name", ["SASRec", "GRU4Rec"])
+@pytest.mark.parametrize("name", ["SASRec", "GRU4Rec", "NARM", "Caser", "FPMC", "TiSASRec"])
 def test_catalog_protocol_matches_generic_path(corpus, name):
     """ranks + top-k from the u@table.T catalog path == the generic
     model-apply path (same trained params)."""

@@ -209,19 +209,25 @@ class BaseRunner:
         tx = self._tx
         step_fn = self._build_step_fn(model, batcher, arrays, tx)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def epoch_fn(state: TrainState, perm: jnp.ndarray, epoch_key: jax.Array):
-            keys = jax.random.split(epoch_key, perm.shape[0])
-            state, losses = jax.lax.scan(step_fn, state, (perm, keys), unroll=self.scan_unroll)
-            return state, losses
+        # the tail batch (n % batch_size) runs at its TRUE smaller shape
+        # inside the SAME jit call, after the scan over full batches -- no
+        # example is seen twice per epoch (reference smaller-last-batch
+        # semantics, BaseRunner.py:174-208) and the epoch stays one
+        # dispatch. tail_idx=None compiles the no-tail variant.
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("has_tail",))
+        def epoch_fn(state: TrainState, perm: jnp.ndarray, tail_idx, epoch_key: jax.Array,
+                     has_tail: bool):
+            keys = jax.random.split(epoch_key, perm.shape[0] + 1)
+            state, losses = jax.lax.scan(step_fn, state, (perm, keys[:-1]),
+                                         unroll=self.scan_unroll)
+            loss_sum, n_steps = losses.sum(), perm.shape[0]
+            if has_tail:
+                state, tail_loss = step_fn(state, (tail_idx, keys[-1]))
+                loss_sum, n_steps = loss_sum + tail_loss, n_steps + 1
+            return state, loss_sum / n_steps
 
-        # the tail batch (n % batch_size) runs at its TRUE smaller shape so
-        # no example is seen twice per epoch (reference smaller-last-batch
-        # semantics, BaseRunner.py:174-208); costs one extra compile
-        tail_fn = partial(jax.jit, donate_argnums=(0,))(
-            lambda state, idx, key: step_fn(state, (idx, key)))
-        self._compiled["train"] = (epoch_fn, tail_fn)
-        return self._compiled["train"]
+        self._compiled["train"] = epoch_fn
+        return epoch_fn
 
     def _build_step_fn(self, model, batcher, arrays, tx):
 
@@ -411,17 +417,13 @@ class BaseRunner:
         n, B = len(batcher), self.batch_size
         perm = np.asarray(jax.random.permutation(jax.random.fold_in(epoch_key, 1), n))
         n_full, n_tail = n // B, n % B
-        epoch_fn, tail_fn = self._get_epoch_fn(model, batcher, arrays)
-        losses_sum, n_steps = 0.0, 0
-        if n_full:
-            idx_mat = self._place_index_matrix(perm[: n_full * B].reshape(n_full, B).astype(np.int32))
-            state, losses = epoch_fn(state, idx_mat, jax.random.fold_in(epoch_key, 2))
-            losses_sum, n_steps = losses.sum(), n_full
-        if n_tail:
-            tail_idx = self._place_index_matrix(perm[n_full * B:].astype(np.int32))
-            state, tail_loss = tail_fn(state, tail_idx, jax.random.fold_in(epoch_key, 3))
-            losses_sum, n_steps = losses_sum + tail_loss, n_steps + 1
-        return state, float(losses_sum) / n_steps
+        epoch_fn = self._get_epoch_fn(model, batcher, arrays)
+        idx_mat = self._place_index_matrix(perm[: n_full * B].reshape(n_full, B).astype(np.int32))
+        tail_idx = self._place_index_matrix(perm[n_full * B:].astype(np.int32)) if n_tail \
+            else jnp.zeros((0,), jnp.int32)
+        state, loss = epoch_fn(state, idx_mat, tail_idx,
+                               jax.random.fold_in(epoch_key, 2), has_tail=bool(n_tail))
+        return state, float(loss)
 
     def predict_ranks(self, state: TrainState, model, batcher, arrays, phase: str) -> np.ndarray:
         n = len(batcher)

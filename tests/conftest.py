@@ -22,3 +22,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-training e2e tests (deselect with -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        fname = item.nodeid.split("::")[0]
+        if "test_e2e_" in fname or "test_distributed" in fname:
+            item.add_marker(_pytest.mark.slow)

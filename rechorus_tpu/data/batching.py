@@ -946,6 +946,24 @@ class ContraBatcher(SequentialBatcher):
         return feed
 
 
+@register_batcher("contra_kda")
+class ContraKDABatcher(KDABatcher):
+    """KDA feeds + two augmented history views for ContraKDA's
+    context-context contrast. Masked positions become pad id 0 (the
+    entity table has no spare mask row), i.e. item-dropout views."""
+
+    def train_feed(self, arrays, idx, key):
+        key, ka, kb = jax.random.split(key, 3)
+        feed = super().train_feed(arrays, idx, key)
+        feed["history_items_a"] = _beta_augment(
+            ka, feed["history_items"], feed["lengths"],
+            float(self.model.beta_a), float(self.model.beta_b), 0)
+        feed["history_items_b"] = _beta_augment(
+            kb, feed["history_items"], feed["lengths"],
+            float(self.model.beta_a), float(self.model.beta_b), 0)
+        return feed
+
+
 @register_batcher("seq_delta")
 class SeqDeltaBatcher(SequentialBatcher):
     """Sequential + log-normalized history age (FourierTA feeds,

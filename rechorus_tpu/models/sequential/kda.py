@@ -121,47 +121,74 @@ class KDA(SequentialModel):
         u_vectors = user_emb[u_ids]  # [B, d]
         i_vectors = entity_emb[i_ids]  # [B, C, d]
         v_vectors = entity_emb[feed["item_val"]]  # [B, C, R, d]
-        his_vectors = entity_emb[history]  # [B, H, d]
 
-        # --- relational dynamic history aggregation (KDA.py:288-303) ---
-        if self.include_val:
-            rv = relation_emb[None, None, :, :] + v_vectors
-            ri_vectors = rv * i_vectors[:, :, None, :]  # [B, C, R, d]
-        else:
-            ri_vectors = relation_emb[None, None, :, :] * i_vectors[:, :, None, :]
-        attention = jnp.einsum("bhd,bcrd->bchr", his_vectors, ri_vectors)
-        valid = (history > 0)[:, None, :, None]  # [B, 1, H, 1]
-        attention = losses.masked_softmax(attention, jnp.broadcast_to(valid, attention.shape), axis=2)
-        decay = jnp.clip(self._idft_decay(freq_real, freq_imag, delta_t_n), 0.0, 1.0)
-        decay = jnp.where(valid[:, 0, :, :], decay, 0.0)[:, None, :, :]  # [B, 1, H, R]
-        attention = attention * decay
-        context = jnp.einsum("bhd,bchr->bcrd", his_vectors, attention)  # [B, C, R, d]
-
-        # --- multi-layer self-attention over the relation axis ---
-        for k in range(self.num_layers):
-            residual = context
-            context = MultiHeadAttention(d, self.num_heads, use_bias=False,
-                                         name=f"attn_{k}")(context, context, context)
-            context = dense(d, name=f"w1_{k}")(context)
-            context = dense(d, name=f"w2_{k}")(nn.relu(context))
-            context = nn.Dropout(self.dropout, deterministic=not training)(context)
-            context = nn.LayerNorm(epsilon=1e-5, name=f"ln_{k}")(residual + context)
-
-        # --- pooling over relations ---
+        # submodules created ONCE so repeated encode() calls (ContraKDA's
+        # augmented views) share parameters
+        attn_blocks = [
+            (MultiHeadAttention(d, self.num_heads, use_bias=False, name=f"attn_{k}"),
+             dense(d, name=f"w1_{k}"), dense(d, name=f"w2_{k}"),
+             nn.LayerNorm(epsilon=1e-5, name=f"ln_{k}"))
+            for k in range(self.num_layers)
+        ]
         if self.pooling == "attention":
-            query = context * u_vectors[:, None, None, :]
-            att = dense(1, use_bias=False, name="A_out")(
-                jnp.tanh(dense(self.attention_size, name="A")(query)))[..., 0]
-            att = jax.nn.softmax(att - jax.lax.stop_gradient(att.max()), axis=-1)
-            his_vector = (context * att[:, :, :, None]).sum(-2)
-        elif self.pooling == "max":
-            his_vector = context.max(axis=-2)
-        else:
-            his_vector = context.mean(axis=-2)  # [B, C, d]
+            pool_a = dense(self.attention_size, name="A")
+            pool_out = dense(1, use_bias=False, name="A_out")
+
+        def encode(i_vec, v_vec, hist, delta_t):
+            """Relational dynamic aggregation + relation self-attention +
+            pooling -> per-candidate history vector [B, C, d]
+            (KDA.py:288-303)."""
+            his_vecs = entity_emb[hist]  # [B, H, d]
+            if self.include_val:
+                rv = relation_emb[None, None, :, :] + v_vec
+                ri_vectors = rv * i_vec[:, :, None, :]  # [B, C, R, d]
+            else:
+                ri_vectors = relation_emb[None, None, :, :] * i_vec[:, :, None, :]
+            attention = jnp.einsum("bhd,bcrd->bchr", his_vecs, ri_vectors)
+            valid = (hist > 0)[:, None, :, None]  # [B, 1, H, 1]
+            attention = losses.masked_softmax(
+                attention, jnp.broadcast_to(valid, attention.shape), axis=2)
+            decay = jnp.clip(self._idft_decay(freq_real, freq_imag, delta_t), 0.0, 1.0)
+            decay = jnp.where(valid[:, 0, :, :], decay, 0.0)[:, None, :, :]  # [B, 1, H, R]
+            attention = attention * decay
+            context = jnp.einsum("bhd,bchr->bcrd", his_vecs, attention)  # [B, C, R, d]
+
+            for mha, w1, w2, ln in attn_blocks:
+                residual = context
+                context = mha(context, context, context)
+                context = w1(context)
+                context = w2(nn.relu(context))
+                context = nn.Dropout(self.dropout, deterministic=not training)(context)
+                context = ln(residual + context)
+
+            if self.pooling == "attention":
+                query = context * u_vectors[:, None, None, :]
+                att = pool_out(jnp.tanh(pool_a(query)))[..., 0]
+                att = jax.nn.softmax(att - jax.lax.stop_gradient(att.max()), axis=-1)
+                return (context * att[:, :, :, None]).sum(-2)
+            elif self.pooling == "max":
+                return context.max(axis=-2)
+            return context.mean(axis=-2)  # [B, C, d]
+
+        his_vector = encode(i_vectors, v_vectors, history, delta_t_n)
 
         i_bias = item_bias[i_ids][..., 0]
         prediction = ((u_vectors[:, None, :] + his_vector) * i_vectors).sum(-1) + i_bias
         out = {"prediction": prediction}
+
+        if training and "history_items_a" in feed:
+            # ContraKDA: context-context consistency of the two augmented
+            # histories, each encoded by the SAME relational encoder
+            # conditioned on the true target candidate
+            tcol = feed.get("_target_col", jnp.zeros_like(i_ids[:, 0]))[:, None]
+            tgt_i = jnp.take_along_axis(i_vectors, tcol[:, :, None], axis=1)  # [B, 1, d]
+            tgt_v = jnp.take_along_axis(v_vectors, tcol[:, :, None, None], axis=1)
+            fa = encode(tgt_i, tgt_v, feed["history_items_a"], delta_t_n)[:, 0]
+            fb = encode(tgt_i, tgt_v, feed["history_items_b"], delta_t_n)[:, 0]
+            features = jnp.stack([fa, fb], axis=1)  # [B, 2, d]
+            out["features"] = features / jnp.maximum(
+                jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+            out["labels"] = jnp.take_along_axis(i_ids, tcol, axis=1)[:, 0]
 
         if "head_id" in feed:  # joint KG batch (train)
             head_v = entity_emb[feed["head_id"]]  # [B, 1+N, d]
@@ -179,3 +206,50 @@ class KDA(SequentialModel):
         rec_loss = losses.bpr_multi_neg(out_dict["prediction"])
         kg_loss = losses.bpr_multi_neg(out_dict["kg_prediction"])
         return rec_loss + self.gamma * kg_loss
+
+
+@register_model("ContraKDA")
+class ContraKDA(KDA):
+    """KDA + ContraRec-style context-context contrastive training.
+
+    The reference's results table lists ContraKDA (docs/
+    demo_scripts_results/README.md:65, HR@5 0.5282 on Grocery) but this
+    snapshot ships no ContraKDA.py, so the composition here is designed
+    from its two parents: the KDA relational-dynamics encoder scores
+    candidates as usual (+ joint KG BPR), and two augmented history
+    views (beta-distributed masking, mask -> pad id 0 because the entity
+    table has no spare mask row) are encoded by the SAME relational
+    encoder conditioned on the true target, then pulled together with
+    the ContraRec CCC InfoNCE (ops/losses.infonce).
+    """
+
+    batcher: ClassVar[str] = "contra_kda"
+    extra_log_args: ClassVar[list] = [
+        "num_layers", "num_heads", "gamma", "contra_gamma", "ccc_temp", "freq_rand"]
+
+    contra_gamma: float = 0.3
+    ccc_temp: float = 0.2
+    beta_a: int = 3
+    beta_b: int = 3
+
+    @staticmethod
+    def parse_model_args(parser):
+        parser.add_argument("--contra_gamma", type=float, default=0.3,
+                            help="Coefficient of the context-context contrastive loss.")
+        parser.add_argument("--ccc_temp", type=float, default=0.2,
+                            help="Temperature of the contrastive loss.")
+        parser.add_argument("--beta_a", type=int, default=3,
+                            help="Beta-distribution parameter for view masking.")
+        parser.add_argument("--beta_b", type=int, default=3,
+                            help="Beta-distribution parameter for view masking.")
+        return KDA.parse_model_args(parser)
+
+    def loss(self, out_dict, feed):
+        loss = super().loss(out_dict, feed)
+        if "features" in out_dict:
+            labels = out_dict["labels"]
+            same_target = labels[:, None] == labels[None, :]
+            loss = loss + self.contra_gamma * self.ccc_temp * losses.infonce(
+                out_dict["features"], temperature=self.ccc_temp,
+                same_target_mask=same_target)
+        return loss

@@ -210,3 +210,16 @@ def test_candidate_aligned_keys_follow_permutation(corpus):
         pairs_before = {int(before_items[b, c]): tuple(before_intervals[b, c]) for c in range(before_items.shape[1])}
         for c in range(permuted_items.shape[1]):
             assert tuple(permuted_intervals[b, c]) == pairs_before[int(permuted_items[b, c])]
+
+
+def test_contra_kda_learns(kda_corpus):
+    """ContraKDA = KDA + CCC contrast over augmented views (the reference
+    results table's strongest Grocery row; no reference source exists)."""
+    args = make_args(epoch=6, lr=5e-3, num_layers=1, num_heads=2, gamma=-1,
+                     attention_size=8, pooling="average", include_val=1,
+                     neg_head_p=0.5, include_attr=1, t_scalar=60, n_dft=32,
+                     freq_rand=0, regenerate=0, contra_gamma=0.3, ccc_temp=0.2,
+                     beta_a=3, beta_b=3)
+    before, after, _, _ = run_model(kda_corpus, "ContraKDA", args)
+    assert np.isfinite(after["HR@5"])
+    assert after["HR@5"] > before["HR@5"] + 0.2

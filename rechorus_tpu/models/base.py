@@ -151,6 +151,9 @@ class CTRModel(BaseModel):
         parser.add_argument("--dropout", type=float, default=0,
                             help="Dropout probability for each deep layer")
         parser.add_argument("--loss_n", type=str, default="BCE", help="Type of loss functions.")
+        parser.add_argument("--num_neg", type=int, default=0,
+                            help="CLI parity with the reference (its CTR scripts pass "
+                                 "--num_neg 0); CTR training is pointwise, no sampling.")
         return BaseModel.parse_model_args(parser)
 
     @classmethod

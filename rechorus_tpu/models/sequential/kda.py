@@ -228,7 +228,7 @@ class ContraKDA(KDA):
         "num_layers", "num_heads", "gamma", "contra_gamma", "ccc_temp", "freq_rand"]
 
     contra_gamma: float = 0.3
-    ccc_temp: float = 0.2
+    ccc_temp: float = 1.0
     beta_a: int = 3
     beta_b: int = 3
 
@@ -236,7 +236,7 @@ class ContraKDA(KDA):
     def parse_model_args(parser):
         parser.add_argument("--contra_gamma", type=float, default=0.3,
                             help="Coefficient of the context-context contrastive loss.")
-        parser.add_argument("--ccc_temp", type=float, default=0.2,
+        parser.add_argument("--ccc_temp", type=float, default=1.0,
                             help="Temperature of the contrastive loss.")
         parser.add_argument("--beta_a", type=int, default=3,
                             help="Beta-distribution parameter for view masking.")

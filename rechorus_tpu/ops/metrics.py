@@ -251,7 +251,7 @@ def evaluate_impression(
 
 
 def masked_topk(pred, clicked_rows, k: int, n_valid: int | None = None,
-                approx: bool = False):
+                approx: bool = False, recall_target: float = 0.98):
     """Gather-only top-k with exclusions (no -inf scatters, which serialize
     on TPU): column 0 (pad item), columns >= n_valid (dead padded table
     rows), and the ids in clicked_rows [B, M] (0-padded). Two-stage: take
@@ -272,7 +272,7 @@ def masked_topk(pred, clicked_rows, k: int, n_valid: int | None = None,
     if approx:
         # TPU PartialReduce (lax.approx_max_k): ~9x faster than the full
         # sort at recall ~0.98 -- the serving path's flag-gated fast lane
-        v, i = jax.lax.approx_max_k(pred, k_wide, recall_target=0.98)
+        v, i = jax.lax.approx_max_k(pred, k_wide, recall_target=recall_target)
         i = i.astype(jnp.int32)
     else:
         v, i = jax.lax.top_k(pred, k_wide)

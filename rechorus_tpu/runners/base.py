@@ -107,6 +107,10 @@ class BaseRunner:
                             help="Approximate full-catalog top-k for the prediction "
                                  "export (TPU PartialReduce, ~9x faster at recall ~0.98). "
                                  "Metrics/eval stay exact.")
+        parser.add_argument("--approx_topk_recall", type=float, default=0.98,
+                            help="Per-element recall target of the approx lane "
+                                 "(measured 1 chip, catalog 100k: 0.95 -> 630k users/s, "
+                                 "0.98 -> 280k, 0.99 -> 96k, exact 30.6k).")
         parser.add_argument("--data_parallel", type=int, default=1,
                             help="Devices on the 'data' mesh axis (batch sharding).")
         parser.add_argument("--model_parallel", type=int, default=1,
@@ -135,6 +139,7 @@ class BaseRunner:
         self.profile_dir = getattr(args, "profile", "")
         self.scan_unroll = max(1, getattr(args, "scan_unroll", 1))
         self.approx_topk = bool(getattr(args, "approx_topk", 0))
+        self.approx_topk_recall = float(getattr(args, "approx_topk_recall", 0.98))
         self.time = None
         self._compiled = {}
         self.mesh = None
@@ -457,13 +462,15 @@ class BaseRunner:
                             pred = self._dense_catalog_scores(u, table, bias, n_items)
                             scores, items = metrics_ops.masked_topk(
                                 pred, feed["_clicked_rows"], k, n_valid=n_items,
-                                approx=self.approx_topk)
+                                approx=self.approx_topk,
+                                recall_target=self.approx_topk_recall)
                     else:
                         pred = model.apply(variables, feed, training=False)["prediction"]
                         # gather-only exclusion of item 0 + clicked rows
                         # (the old .at[].set(-inf) scatter serialized on TPU)
                         scores, cols = metrics_ops.masked_topk(pred, feed["_clicked_rows"], k,
-                                                               approx=self.approx_topk)
+                                                               approx=self.approx_topk,
+                                                               recall_target=self.approx_topk_recall)
                         items = jnp.take_along_axis(feed["item_id"], cols, axis=1)
                     return variables, (items, scores)
                 out = model.apply(variables, feed, training=False)

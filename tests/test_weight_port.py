@@ -463,3 +463,43 @@ def test_din_forward_parity(ctr_corpus):
     out = model.apply({"params": params, **extra}, feed, training=False)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=2e-5)
+
+
+def test_fpmc_forward_parity():
+    """FPMC: 4 tables, MF + transition dots (published-number gap on
+    Grocery is training-side if this passes)."""
+    from models.sequential.FPMC import FPMC as TorchFPMC
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H = 30, 50, 8
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchFPMC(ref_args(), corpus).eval()
+
+    model = get_model("FPMC")(user_num=n_users, item_num=n_items, emb_size=16,
+                              history_max=H, dropout=0.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {name: {"embedding": sd[f"{name}.weight"]}
+              for name in ("ui_embeddings", "iu_embeddings", "li_embeddings", "il_embeddings")}
+
+    rng = np.random.default_rng(6)
+    B, C = 6, 4
+    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
+    hist = np.zeros((B, H), dtype=np.int32)
+    for b in range(B):
+        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    last = hist[np.arange(B), lengths - 1]
+
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items),
+                       "last_item_id": t(last), "batch_size": B})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)

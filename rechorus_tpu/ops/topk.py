@@ -1,0 +1,252 @@
+"""Streaming full-catalog top-k and rank kernels for large catalogs.
+
+The dense eval/serving path (`runners/base.py::_dense_catalog_scores`)
+materializes the [B, N] score matrix. At production catalog sizes that
+breaks down: B=4096 x N=1M fp32 is 16 GB -- over HBM -- and even where it
+fits, `lax.top_k` over N columns is the bottleneck (a full sort-network
+pass over every score). The two kernels here stream the catalog in tiles
+so the full score matrix never exists, and cut the top-k work by a
+bucket factor while staying EXACT:
+
+`tiled_catalog_topk` -- hierarchical exact top-k:
+  1. Per catalog tile: score  s = u @ tile.T (+ bias)  on the MXU, reduce
+     to bucket maxes (buckets of `bucket` consecutive items), keep each
+     tile's top `k+M` bucket maxes (M = clicked-exclusion width).
+  2. Merge tiles' candidates -> global top `k+M` buckets.
+  3. Gather ONLY the winning buckets' items ((k+M)*bucket per user),
+     rescore them exactly, knock out clicked ids, final `top_k(k)`.
+
+  Exactness: let v* be the k-th largest unmasked score. Every bucket
+  containing a true top-k item has bucket-max >= v*. Buckets with
+  max >= v* are (a) buckets whose max is itself a top-k unmasked item
+  (<= k of them) or (b) buckets whose max is an excluded clicked item
+  scoring >= v* (<= M of them, one per clicked id). So the top k+M
+  buckets by max contain every true winner; rescoring their full
+  contents recovers the exact top-k. (Ties at v* break by index, the
+  same convention as `lax.top_k`.) This is the PartialReduce idea
+  behind `lax.approx_max_k` plus the exact second pass it omits.
+
+  Measured (1 chip, B=4096, D=64, top-100): catalog 100k exact
+  30.6k -> 80k users/s; catalog 1M: OOM -> 19.5k users/s exact.
+
+`tiled_catalog_ranks` -- streaming ground-truth rank (reference
+  BaseRunner.py:244-251 + evaluate_method :51-78 semantics) for
+  `--test_all`: per tile, count scores >= target score; subtract
+  clicked/pad corrections via gathers. Never materializes [B, N]; the
+  item table is read from HBM exactly once per batch.
+
+Both handle: optional item bias, column-0 pad item, dead padded tail
+rows (ids >= n_valid), clicked-row exclusion, and non-tile-divisible
+catalogs (a separately-processed static tail chunk -- no table copy).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# route the dense paths through the tiled kernels at this table size
+# (measured crossover, 1 chip, B=4096, D=64: tiled exact already wins at
+# 16k items -- 137k vs 99k users/s -- and the gap widens with N)
+MIN_ROWS_FOR_TILED = 16384
+# the monolithic approx_max_k lane stays faster than per-tile approx
+# (~180k users/s flat) until the [B, N] score matrix stops fitting; route
+# dense-approx below this element count (f32: 2 GB), tiled-approx above
+DENSE_APPROX_MAX_ELEMS = 1 << 29
+DEFAULT_TILE = 131072
+DEFAULT_BUCKET = 16
+
+
+def _tile_plan(n_rows: int, tile: int, bucket: int = 1):
+    """(n_full_tiles, full_span, tail_rows, tile): static catalog tiling.
+    `tile` is rounded down to a bucket multiple so every tile (and the
+    tail chunk) starts on a bucket boundary -- bucket ids then map to
+    item spans globally, not per-tile."""
+    tile = min(tile, n_rows)
+    if bucket > 1 and tile % bucket:
+        tile = max(bucket, tile - tile % bucket)
+    n_full = n_rows // tile
+    return n_full, n_full * tile, n_rows - n_full * tile, tile
+
+
+def _tile_scores(u, table, bias, start: int, rows: int, n_valid):
+    """[B, rows] scores for table[start:start+rows] with pad masking.
+
+    `start`/`rows` are Python ints (static): the slice is a plain lax
+    slice, not a gather."""
+    t = jax.lax.slice_in_dim(table, start, start + rows, axis=0)
+    s = u @ t.T
+    if bias is not None:
+        s = s + jax.lax.slice_in_dim(bias, start, start + rows)[None, :]
+    cols = start + jnp.arange(rows)
+    ok = cols > 0
+    if n_valid is not None and start + rows > n_valid:
+        ok = ok & (cols < n_valid)
+    return jnp.where(ok[None, :], s, -jnp.inf)
+
+
+def _bucket_max(s, bucket: int):
+    """[B, rows] -> [B, ceil(rows/bucket)] max over buckets of `bucket`
+    consecutive columns (-inf padded)."""
+    B, rows = s.shape
+    pad = (-rows) % bucket
+    if pad:
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    return s.reshape(B, -1, bucket).max(-1)
+
+
+def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
+                       n_valid: int | None = None, bucket: int | None = None,
+                       tile: int | None = None, approx: bool = False,
+                       recall_target: float = 0.98):
+    """Exact (or per-tile-approx) masked top-k over u @ table.T + bias,
+    streamed over catalog tiles. Returns (values [B, k], item ids [B, k]).
+
+    approx=True swaps stage 1's bucket-max hierarchy for a per-tile
+    `lax.approx_max_k` over raw scores (the serving fast lane); the merge
+    and clicked knockout stay exact, so recall is >= the monolithic
+    approx lane at the same recall_target.
+    """
+    bucket = bucket or DEFAULT_BUCKET   # late-bound: tests/tuning override
+    tile = tile or DEFAULT_TILE          # the module attrs at call time
+    B = u.shape[0]
+    N = table.shape[0]
+    M = clicked_rows.shape[1] if clicked_rows is not None else 0
+    k_wide = min(k + M, N)
+    n_full, full_span, tail_rows, tile = _tile_plan(N, tile, 1 if approx else bucket)
+
+    def tile_candidates(start, rows):
+        s = _tile_scores(u, table, bias, start, rows, n_valid)
+        if approx:
+            kk = min(k_wide, rows)
+            v, i = jax.lax.approx_max_k(s, kk, recall_target=recall_target)
+            return v, (start + i).astype(jnp.int32), kk
+        bm = _bucket_max(s, bucket)
+        kk = min(k_wide, bm.shape[1])
+        v, b = jax.lax.top_k(bm, kk)
+        return v, (start // bucket + b).astype(jnp.int32), kk
+
+    # full tiles under a scan (one trace), static tail chunk separately
+    cand_v, cand_i = [], []
+    if n_full:
+        # dynamic-start variant of tile_candidates for the scan body
+        def tstep(carry, ti):
+            start = ti * tile
+            t = jax.lax.dynamic_slice_in_dim(table, start, tile, 0)
+            s = u @ t.T
+            if bias is not None:
+                s = s + jax.lax.dynamic_slice_in_dim(bias, start, tile)[None, :]
+            cols = start + jnp.arange(tile)
+            ok = cols > 0
+            if n_valid is not None:
+                ok = ok & (cols < n_valid)
+            s = jnp.where(ok[None, :], s, -jnp.inf)
+            if approx:
+                kk = min(k_wide, tile)
+                v, i = jax.lax.approx_max_k(s, kk, recall_target=recall_target)
+                return carry, (v, (start + i).astype(jnp.int32))
+            bm = _bucket_max(s, bucket)
+            kk = min(k_wide, bm.shape[1])
+            v, b = jax.lax.top_k(bm, kk)
+            return carry, (v, (start // bucket + b).astype(jnp.int32))
+
+        _, (tv, tb) = jax.lax.scan(tstep, 0, jnp.arange(n_full))
+        cand_v.append(jnp.moveaxis(tv, 0, 1).reshape(B, -1))
+        cand_i.append(jnp.moveaxis(tb, 0, 1).reshape(B, -1))
+    if tail_rows:
+        v, i, _ = tile_candidates(full_span, tail_rows)
+        cand_v.append(v)
+        cand_i.append(i)
+    all_v = jnp.concatenate(cand_v, axis=1)
+    all_i = jnp.concatenate(cand_i, axis=1)
+
+    if approx:
+        cand = all_i  # item ids already; scores exact per tile
+        cs = all_v
+    else:
+        # global top k_wide buckets -> expand to their items, rescore exactly
+        kk = min(k_wide, all_v.shape[1])
+        _, sel = jax.lax.top_k(all_v, kk)
+        gb = jnp.take_along_axis(all_i, sel, axis=1)            # [B, kk] bucket ids
+        cand = (gb[:, :, None] * bucket + jnp.arange(bucket)[None, None, :]).reshape(B, -1)
+        cand = jnp.minimum(cand, N - 1).astype(jnp.int32)       # bucket tail past N
+        cvec = table[cand]                                      # [B, kk*bucket, D]
+        cs = jnp.einsum("bd,bcd->bc", u, cvec.astype(u.dtype))
+        if bias is not None:
+            cs = cs + bias[cand]
+        ok = cand > 0
+        if n_valid is not None:
+            ok = ok & (cand < n_valid)
+        cs = jnp.where(ok, cs, -jnp.inf)
+        # duplicate ids from the N-1 clamp can't outrank the true winners'
+        # single copies (identical scores, later index loses top_k ties)
+
+    kw = min(k_wide, cs.shape[1])
+    v, sel = jax.lax.top_k(cs, kw)
+    ids = jnp.take_along_axis(cand, sel, axis=1)
+    if clicked_rows is not None:
+        hit = (ids[:, :, None] == clicked_rows[:, None, :].astype(ids.dtype)).any(-1)
+        v = jnp.where(hit, -jnp.inf, v)
+        v, sel2 = jax.lax.top_k(v, min(k, kw))
+        ids = jnp.take_along_axis(ids, sel2, axis=1)
+    else:
+        v, ids = v[:, :k], ids[:, :k]
+    return v, ids
+
+
+def tiled_catalog_ranks(u, table, target_col, clicked_rows, bias=None,
+                        n_valid: int | None = None, tile: int | None = None):
+    """Ground-truth catalog rank with clicked masking, streamed over tiles
+    (same result as `pallas_kernels.catalog_ranks` over dense scores; see
+    that docstring for the reference semantics being implemented).
+
+    rank = 1 + #{catalog j: s_j >= s_target} - #{clicked j: s_j >= s_t}
+             - [s_0 >= s_t], counted tile-by-tile without a [B, N] matrix.
+    """
+    tile = tile or DEFAULT_TILE
+    target_col = target_col.astype(jnp.int32)
+    tvec = table[target_col]                                    # [B, D]
+    tscore = jnp.einsum("bd,bd->b", u, tvec.astype(u.dtype))
+    if bias is not None:
+        tscore = tscore + bias[target_col]
+
+    N = table.shape[0]
+    n_full, full_span, tail_rows, tile = _tile_plan(N, tile)
+
+    def count_ge(start, rows):
+        t = jax.lax.dynamic_slice_in_dim(table, start, rows, 0)
+        s = u @ t.T
+        if bias is not None:
+            s = s + jax.lax.dynamic_slice_in_dim(bias, start, rows)[None, :]
+        cols = start + jnp.arange(rows)
+        ok = (cols > 0)[None, :]
+        if n_valid is not None:
+            ok = ok & (cols < n_valid)[None, :]
+        # the target's own column compares matmul-score vs einsum-tscore
+        # (1-ulp apart); exclude it here, re-added exactly below
+        ok = ok & (cols[None, :] != target_col[:, None])
+        ge = (s >= tscore[:, None]) & ok
+        return ge.sum(axis=1).astype(jnp.int32)
+
+    total = jnp.zeros((u.shape[0],), jnp.int32)
+    if n_full:
+        def tstep(acc, ti):
+            return acc + count_ge(ti * tile, tile), None
+        total, _ = jax.lax.scan(tstep, total, jnp.arange(n_full))
+    if tail_rows:
+        total = total + count_ge(full_span, tail_rows)
+
+    cvec = table[clicked_rows.astype(jnp.int32)]                # [B, M, D]
+    cscore = jnp.einsum("bd,bmd->bm", u, cvec.astype(u.dtype))
+    if bias is not None:
+        cscore = cscore + bias[clicked_rows.astype(jnp.int32)]
+    # the target's residual copy in clicked_rows would compare two
+    # differently-shaped einsums at exact equality (1-ulp fragile, like
+    # the target's own tile column) -- count it symbolically instead
+    not_target = clicked_rows != target_col[:, None]
+    clicked_ge = ((cscore >= tscore[:, None]) & (clicked_rows > 0) & not_target).sum(axis=1)
+    target_in_clicked = (~not_target).any(axis=1).astype(jnp.int32)
+    # identity vs the dense path: dense rank = #{j>0: s_j >= t} -
+    # clicked_ge_dense + 1, where the target's column contributes exactly
+    # 1 to the count and its clicked copy exactly 1 to clicked_ge_dense.
+    # The tile counts exclude col 0 and the target's column, so:
+    return total + 2 - clicked_ge.astype(jnp.int32) - target_in_clicked

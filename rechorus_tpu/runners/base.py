@@ -33,6 +33,7 @@ import optax
 
 from rechorus_tpu import registry
 from rechorus_tpu.ops import metrics as metrics_ops
+from rechorus_tpu.ops import topk as topk_ops
 from rechorus_tpu.utils import io as utils
 
 
@@ -346,6 +347,11 @@ class BaseRunner:
                         ranks = sharded_catalog_ranks(
                             u, table, feed["_target"], self.mesh,
                             feed["_clicked_rows"], bias, n_valid=n_items)
+                    elif table.shape[0] >= topk_ops.MIN_ROWS_FOR_TILED:
+                        # large catalog: stream tiles, never build [B, N]
+                        ranks = topk_ops.tiled_catalog_ranks(
+                            u, table, feed["_target"], feed["_clicked_rows"],
+                            bias=bias, n_valid=n_items)
                     else:
                         scores = self._dense_catalog_scores(u, table, bias, n_items)
                         ranks = catalog_ranks(scores, feed["_target"], feed["_clicked_rows"])
@@ -458,6 +464,20 @@ class BaseRunner:
                                 u, table, k, self.mesh,
                                 clicked_rows=feed["_clicked_rows"],
                                 item_bias=bias, n_valid=n_items)
+                        elif table.shape[0] >= topk_ops.MIN_ROWS_FOR_TILED and (
+                                not self.approx_topk
+                                or u.shape[0] * table.shape[0] > topk_ops.DENSE_APPROX_MAX_ELEMS):
+                            # hierarchical exact (or per-tile approx) top-k,
+                            # streamed over catalog tiles (ops/topk.py):
+                            # 2.6x the dense exact lane at 100k items,
+                            # and the only lane that fits at 1M+. The
+                            # monolithic approx lane keeps winning until
+                            # [B, N] stops fitting -- see DENSE_APPROX_MAX_ELEMS
+                            scores, items = topk_ops.tiled_catalog_topk(
+                                u, table, k, bias=bias,
+                                clicked_rows=feed["_clicked_rows"], n_valid=n_items,
+                                approx=self.approx_topk,
+                                recall_target=self.approx_topk_recall)
                         else:
                             pred = self._dense_catalog_scores(u, table, bias, n_items)
                             scores, items = metrics_ops.masked_topk(

@@ -112,14 +112,24 @@ def main():
         print(json.dumps({label: round(B / dt), "catalog": I}))
         return B / dt
 
-    serve_bench("serving_users_per_s_full_catalog_top100_exact",
-                lambda u, it: jax.lax.top_k(u @ it.T, 100))
-    # flag-gated product fast lane (--approx_topk): bf16 MXU matmul +
-    # lax.approx_max_k (TPU PartialReduce), recall ~0.98
-    serve_bench("serving_users_per_s_full_catalog_top100_approx",
-                lambda u, it: jax.lax.approx_max_k(
-                    u.astype(jnp.bfloat16) @ it.astype(jnp.bfloat16).T, 100,
-                    recall_target=0.98))
+    from rechorus_tpu.ops.topk import tiled_catalog_topk
+
+    if I <= 200_000:
+        # dense lanes only fit at research/mid scale
+        serve_bench("serving_users_per_s_full_catalog_top100_dense_exact",
+                    lambda u, it: jax.lax.top_k(u @ it.T, 100))
+        serve_bench("serving_users_per_s_full_catalog_top100_dense_approx",
+                    lambda u, it: jax.lax.approx_max_k(
+                        u.astype(jnp.bfloat16) @ it.astype(jnp.bfloat16).T, 100,
+                        recall_target=0.98))
+    # product lanes (runners/base.py predict_topk routes here for
+    # catalogs >= ops.topk.MIN_ROWS_FOR_TILED): hierarchical exact
+    # streaming top-k, and the per-tile approx fast lane
+    serve_bench("serving_users_per_s_full_catalog_top100_tiled_exact",
+                lambda u, it: tiled_catalog_topk(u, it, 100))
+    serve_bench("serving_users_per_s_full_catalog_top100_tiled_approx",
+                lambda u, it: tiled_catalog_topk(u, it, 100, approx=True,
+                                                 recall_target=0.98))
 
 
 if __name__ == "__main__":

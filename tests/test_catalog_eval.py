@@ -160,3 +160,32 @@ def test_masked_topk_approx_recall():
         assert not np.isin(np.asarray(ia)[b], np.asarray(clicked)[b]).any()
         recall = len(set(np.asarray(ia)[b]) & set(np.asarray(ie)[b])) / k
         assert recall >= 0.9, recall
+
+
+def test_tiled_catalog_route_matches_dense(corpus, monkeypatch):
+    """Large-catalog route (ops/topk.py tiled kernels) end-to-end through
+    BaseRunner.predict_ranks/predict_topk: force the tiled threshold below
+    this corpus' 1501-row table and compare against the dense route on the
+    same trained params. Odd tile (.e.g 640) exercises the tail chunk."""
+    from rechorus_tpu.ops import topk as topk_ops
+
+    args = make_args()
+    model, runner, batchers, arrays, state = _setup(corpus, "BPRMF", args)
+
+    ranks_dense = runner.predict_ranks(state, model, batchers["test"], arrays["test"], "test")
+    items_dense, scores_dense = runner.predict_topk(
+        state, model, batchers["test"], arrays["test"], "test", k=20)
+
+    monkeypatch.setattr(topk_ops, "MIN_ROWS_FOR_TILED", 64)
+    monkeypatch.setattr(topk_ops, "DEFAULT_TILE", 640)
+    runner._compiled.pop("test", None)
+    runner._compiled.pop(("test", "topk", 20), None)
+    ranks_tiled = runner.predict_ranks(state, model, batchers["test"], arrays["test"], "test")
+    items_tiled, scores_tiled = runner.predict_topk(
+        state, model, batchers["test"], arrays["test"], "test", k=20)
+
+    np.testing.assert_array_equal(ranks_dense, ranks_tiled)
+    np.testing.assert_allclose(scores_dense, scores_tiled, rtol=2e-5, atol=1e-5)
+    diff = items_dense != items_tiled
+    if diff.any():  # ties only
+        np.testing.assert_allclose(scores_dense[diff], scores_tiled[diff], rtol=2e-5, atol=1e-5)

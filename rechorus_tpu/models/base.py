@@ -114,6 +114,17 @@ class GeneralModel(BaseModel):
     def corpus_kwargs(cls, args, corpus):
         return {"user_num": corpus.n_users, "item_num": corpus.n_items}
 
+    def lazy_table_specs(self) -> dict:
+        """Embedding tables eligible for `--lazy_emb_adam` (touched-rows
+        optimizer updates): {param path: feed keys whose ids touch it}.
+        Paths missing from a subclass's param tree are ignored (see
+        ops/lazy_adam.resolve_lazy_rows); subclasses with differently
+        named tables can override."""
+        return {
+            ("u_embeddings", "embedding"): ("user_id",),
+            ("i_embeddings", "embedding"): ("item_id",),
+        }
+
     def loss(self, out_dict, feed):
         return losses.bpr_multi_neg(out_dict["prediction"])
 
@@ -131,6 +142,13 @@ class SequentialModel(GeneralModel):
         parser.add_argument("--history_max", type=int, default=20,
                             help="Maximum length of history.")
         return GeneralModel.parse_model_args(parser)
+
+    def lazy_table_specs(self) -> dict:
+        specs = dict(super().lazy_table_specs())
+        # history ids also gather from the item table (pad id 0 rides
+        # along harmlessly: its grad row is 0, so its update is 0)
+        specs[("i_embeddings", "embedding")] = ("item_id", "history_items")
+        return specs
 
 
 class CTRModel(BaseModel):

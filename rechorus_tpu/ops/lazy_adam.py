@@ -1,0 +1,138 @@
+"""Touched-rows-only ("lazy") Adam for embedding tables.
+
+At production scale the optimizer sweep dominates training: a dense Adam
+step on a 1M x 64 table reads grad+param+mu+nu and writes param+mu+nu --
+~1.8 GB of HBM traffic per step for rows that are almost all untouched
+(a 4096-batch touches <0.1% of rows). Lazy Adam updates ONLY the rows the
+batch touched: gather their grad/mu/nu rows, run the Adam math on
+[R, D], scatter back. Duplicate row ids are safe: the dense grad row
+already aggregates every occurrence, so each duplicate computes the
+identical update value and `.at[rows].set` writes it idempotently.
+
+Semantics vs dense Adam (torch parity caveats -- this is why the lane is
+flag-gated behind `--lazy_emb_adam`):
+  * untouched rows skip the mu/nu decay ("ghost updates"). With l2=0 a
+    never-touched row is bit-identical to dense Adam (0-moments decay to
+    0, update is 0); a row touched at step t and not after diverges by
+    the tail of its decaying momentum.
+  * with l2>0, dense `add_decayed_weights` nudges every row every step;
+    lazy applies the decay only to touched rows at their touch steps.
+This matches tf.contrib LazyAdam / torch SparseAdam behavior.
+
+The Adam math mirrors optax.adam exactly (m_hat/(sqrt(v_hat)+eps),
+eps_root=0) so non-table leaves and fully-touched tables stay bit-equal
+to the dense path; see tests/test_lazy_adam.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LazyAdamState(NamedTuple):
+    count: jnp.ndarray  # shared Adam step for bias correction
+    mu: dict
+    nu: dict
+
+
+class LazyAdamTx:
+    """Duck-typed optimizer for the lazy path. `.init` matches the optax
+    contract (so `parallel.mesh.shard_state` re-initializes moments with
+    each param's sharding); updates go through `lazy_adam_step` instead
+    of `.update` because they need the touched-row ids, which optax's
+    update signature cannot carry."""
+
+    def __init__(self, lr: float, l2: float, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8, decay_mask=None):
+        self.lr, self.l2 = lr, l2
+        self.b1, self.b2, self.eps = b1, b2, eps
+        # pytree-of-bool (or callable) matching build_optimizer's
+        # add_decayed_weights mask: which leaves receive l2
+        self.decay_mask = decay_mask
+
+    def init(self, params) -> LazyAdamState:
+        zeros = lambda p: jax.tree.map(jnp.zeros_like, p)
+        return LazyAdamState(count=jnp.zeros((), jnp.int32), mu=zeros(params), nu=zeros(params))
+
+
+def _leaf_paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _leaf_paths(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def _get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set(tree, path, value):
+    if not path:
+        return value
+    out = dict(tree)
+    out[path[0]] = _set(tree[path[0]], path[1:], value)
+    return out
+
+
+def lazy_adam_step(tx: LazyAdamTx, params, grads, state: LazyAdamState, rows_map):
+    """One Adam step: leaves in `rows_map` ({param-path-tuple: 1-D int32
+    row ids}) update touched rows only; every other leaf runs the exact
+    dense optax.adam math (incl. l2 via decayed weights). Returns
+    (new_params, new_state)."""
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - tx.b1 ** t
+    bc2 = 1.0 - tx.b2 ** t
+
+    decay_mask = tx.decay_mask
+    if callable(decay_mask):
+        decay_mask = decay_mask(params)
+
+    new_params, new_mu, new_nu = params, state.mu, state.nu
+    lazy_paths = set(rows_map.keys())
+    for path, p in _leaf_paths(params):
+        g = _get(grads, path)
+        m, v = _get(state.mu, path), _get(state.nu, path)
+        decay = tx.l2 if (tx.l2 > 0 and (decay_mask is None or _get(decay_mask, path))) else 0.0
+        if path in lazy_paths:
+            rows = rows_map[path].astype(jnp.int32).ravel()
+            gr = g[rows]
+            if decay:
+                gr = gr + decay * p[rows]
+            mr = tx.b1 * m[rows] + (1.0 - tx.b1) * gr
+            vr = tx.b2 * v[rows] + (1.0 - tx.b2) * gr * gr
+            upd = tx.lr * (mr / bc1) / (jnp.sqrt(vr / bc2) + tx.eps)
+            new_params = _set(new_params, path, p.at[rows].set(p[rows] - upd))
+            new_mu = _set(new_mu, path, m.at[rows].set(mr))
+            new_nu = _set(new_nu, path, v.at[rows].set(vr))
+        else:
+            if decay:
+                g = g + decay * p
+            m2 = tx.b1 * m + (1.0 - tx.b1) * g
+            v2 = tx.b2 * v + (1.0 - tx.b2) * g * g
+            upd = tx.lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + tx.eps)
+            new_params = _set(new_params, path, p - upd)
+            new_mu = _set(new_mu, path, m2)
+            new_nu = _set(new_nu, path, v2)
+    return new_params, LazyAdamState(count=count, mu=new_mu, nu=new_nu)
+
+
+def resolve_lazy_rows(specs: dict, params, feed) -> dict:
+    """{path: feed-key tuple} -> {path: concatenated id array}, keeping
+    only paths that exist in this model's param tree and keys present in
+    this feed (models share base-class specs; both can vary)."""
+    out = {}
+    for path, feed_keys in specs.items():
+        try:
+            _get(params, path)
+        except (KeyError, TypeError):
+            continue
+        cols = [feed[k].ravel() for k in feed_keys if k in feed]
+        if cols:
+            out[path] = jnp.concatenate(cols) if len(cols) > 1 else cols[0]
+    return out

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--emb_size", type=int, default=64)
     ap.add_argument("--batch_size", type=int, default=4096)
     ap.add_argument("--interactions", type=int, default=2_000_000)
+    ap.add_argument("--lazy_adam", type=int, default=0,
+                    help="Benchmark the --lazy_emb_adam lane (touched-rows "
+                         "optimizer updates, ops/lazy_adam.py)")
     a = ap.parse_args()
 
     import jax
@@ -53,6 +56,14 @@ def main():
     state = TrainState(params=params, extra_vars={}, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
 
+    if a.lazy_adam:
+        from rechorus_tpu.ops.lazy_adam import LazyAdamTx, lazy_adam_step, resolve_lazy_rows
+        from rechorus_tpu.runners.base import _decay_mask
+
+        tx = LazyAdamTx(1e-3, 1e-6, decay_mask=_decay_mask)
+        state = state.replace(opt_state=tx.init(params))
+        specs = model.lazy_table_specs()
+
     def step_fn(state, xs):
         idx, key = xs
         u, t = users[idx], items[idx]
@@ -64,6 +75,12 @@ def main():
             return losses.bpr_multi_neg(out["prediction"])
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if a.lazy_adam:
+            rows_map = resolve_lazy_rows(specs, state.params, feed)
+            new_params, new_opt = lazy_adam_step(tx, state.params, grads,
+                                                 state.opt_state, rows_map)
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 step=state.step + 1), loss
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         return state.replace(params=optax.apply_updates(state.params, updates),
                              opt_state=new_opt, step=state.step + 1), loss
@@ -85,7 +102,10 @@ def main():
     dt = (time.perf_counter() - t0) / 3
     print(json.dumps({"train_examples_per_s": round(n_steps * B / dt),
                       "s_per_epoch": round(dt, 3),
-                      "params_M": round(sum(x.size for x in jax.tree_util.tree_leaves(state.params)) / 1e6, 1)}))
+                      "lazy_adam": a.lazy_adam,
+                      "params_M": round(sum(x.size for x in jax.tree_util.tree_leaves(state.params)) / 1e6, 1)}), flush=True)
+    if a.lazy_adam:
+        return  # serving lanes don't depend on the optimizer
 
     # Serving: T batches scanned in ONE call so the tunnel RPC amortizes;
     # the dependent scalar is materialized to defeat async-dispatch timing.

@@ -1,0 +1,135 @@
+"""Lazy (touched-rows-only) Adam: math parity with optax.adam where
+semantics coincide, and the e2e `--lazy_emb_adam` runner path."""
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rechorus_tpu.ops.lazy_adam import LazyAdamState, LazyAdamTx, lazy_adam_step, resolve_lazy_rows
+
+
+def _trees(seed=0, N=64, D=8):
+    rng = np.random.default_rng(seed)
+    params = {
+        "table": {"embedding": jnp.asarray(rng.standard_normal((N, D)), jnp.float32)},
+        "dense": {"kernel": jnp.asarray(rng.standard_normal((D, D)), jnp.float32),
+                  "bias": jnp.zeros((D,), jnp.float32)},
+    }
+    grads = jax.tree.map(lambda p: jnp.asarray(np.random.default_rng(seed + 1)
+                                               .standard_normal(p.shape), jnp.float32), params)
+    return params, grads
+
+
+def test_first_step_matches_dense_adam_everywhere():
+    """From zero moments, one lazy step == one optax.adam step on every
+    leaf: touched rows by the shared math, untouched rows because both
+    produce exactly 0 update (0-moments, 0 grad)."""
+    params, grads = _trees()
+    # untouched rows get zero grads (as a real embedding grad would)
+    touched = jnp.asarray([1, 3, 5, 7, 9, 3], jnp.int32)  # incl. a duplicate
+    mask = jnp.zeros((64, 1), jnp.float32).at[touched].set(1.0)
+    grads = dict(grads)
+    grads["table"] = {"embedding": grads["table"]["embedding"] * mask}
+
+    tx = LazyAdamTx(lr=1e-2, l2=0.0)
+    new_p, _ = lazy_adam_step(tx, params, grads, tx.init(params),
+                              {("table", "embedding"): touched})
+
+    ref_tx = optax.adam(1e-2)
+    upd, _ = ref_tx.update(grads, ref_tx.init(params), params)
+    want = optax.apply_updates(params, upd)
+    for path in [("table", "embedding"), ("dense", "kernel"), ("dense", "bias")]:
+        a, b = new_p, want
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+                                   err_msg=str(path))
+
+
+def test_full_coverage_multi_step_bitwise_dense():
+    """If every row is touched every step, lazy == dense adam for many
+    steps (bias correction, moments, everything)."""
+    params, _ = _trees(seed=2, N=16)
+    all_rows = jnp.arange(16, dtype=jnp.int32)
+    tx = LazyAdamTx(lr=3e-3, l2=0.0)
+    st = tx.init(params)
+    ref_tx = optax.adam(3e-3)
+    ref_st = ref_tx.init(params)
+    ref_p = params
+    for step in range(5):
+        _, grads = _trees(seed=10 + step, N=16)
+        params, st = lazy_adam_step(tx, params, grads, st, {("table", "embedding"): all_rows})
+        upd, ref_st = ref_tx.update(grads, ref_st, ref_p)
+        ref_p = optax.apply_updates(ref_p, upd)
+    for (pa, pb) in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(ref_p)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-6, atol=1e-7)
+
+
+def test_untouched_rows_frozen():
+    """Rows never in the ids must be bit-identical across steps even when
+    their moments are non-zero (the lazy semantics: no ghost decay)."""
+    params, grads = _trees(seed=3)
+    tx = LazyAdamTx(lr=1e-2, l2=1e-4)
+    st = LazyAdamState(count=jnp.zeros((), jnp.int32),
+                       mu=jax.tree.map(jnp.ones_like, params),
+                       nu=jax.tree.map(jnp.ones_like, params))
+    touched = jnp.asarray([0, 1, 2], jnp.int32)
+    new_p, _ = lazy_adam_step(tx, params, grads, st, {("table", "embedding"): touched})
+    before = np.asarray(params["table"]["embedding"])[3:]
+    after = np.asarray(new_p["table"]["embedding"])[3:]
+    np.testing.assert_array_equal(before, after)
+
+
+def test_resolve_lazy_rows_skips_missing():
+    params, _ = _trees()
+    feed = {"user_id": jnp.arange(4), "item_id": jnp.arange(8).reshape(4, 2)}
+    specs = {("table", "embedding"): ("item_id",),
+             ("nope", "embedding"): ("user_id",)}
+    rows = resolve_lazy_rows(specs, params, feed)
+    assert set(rows) == {("table", "embedding")}
+    assert rows[("table", "embedding")].shape == (8,)
+
+
+@pytest.mark.slow
+def test_e2e_lazy_vs_dense_bprmf(tmp_path):
+    """--lazy_emb_adam trains BPRMF to metrics within noise of dense Adam
+    on a small synthetic corpus (product path end-to-end)."""
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.data.synthetic import make_topk_dataset
+
+    make_topk_dataset(str(tmp_path / "Synth"), n_users=64, n_items=800, n_per_user=10, n_neg=9)
+
+    def run(lazy):
+        args = argparse.Namespace(
+            path=str(tmp_path), dataset="Synth", sep="\t",
+            epoch=3, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-2, l2=1e-6,
+            batch_size=64, eval_batch_size=32, optimizer="Adam", num_workers=0,
+            pin_memory=0, topk="5", metric="NDCG,HR", main_metric="",
+            model_path="", random_seed=0, num_neg=1, dropout=0.0, test_all=0,
+            emb_size=16, buffer=1, lazy_emb_adam=lazy,
+            data_parallel=1, model_parallel=1,
+        )
+        corpus = registry.get_reader("BaseReader")(args)
+        model_cls = registry.get_model("BPRMF")
+        model = model_cls.from_args(args, corpus)
+        runner = registry.get_runner(model_cls.runner)(args)
+        batchers = {p: get_batcher(model_cls.batcher)(corpus, model, p, args)
+                    for p in ["train", "dev"]}
+        arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
+        state = runner.init_state(model, batchers["train"], 0)
+        if lazy:
+            assert runner._lazy_specs, "lazy path not engaged"
+        for e in range(1, 4):
+            state, loss = runner.fit(state, model, batchers["train"], arrays["train"], e, jax.random.key(0))
+        res = runner.evaluate(state, model, batchers["dev"], arrays["dev"], "dev", [5], ["HR", "NDCG"])
+        return loss, res
+
+    loss_d, res_d = run(0)
+    loss_l, res_l = run(1)
+    assert np.isfinite(loss_l)
+    assert abs(loss_d - loss_l) < 0.1, (loss_d, loss_l)
+    assert abs(res_d["HR@5"] - res_l["HR@5"]) < 0.1, (res_d, res_l)

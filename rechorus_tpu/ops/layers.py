@@ -25,12 +25,37 @@ def dense(features: int, use_bias: bool = True, name: Optional[str] = None) -> n
     )
 
 
+# process-global table storage dtype (mirrors parallel.mesh's row-pad
+# knob): --bf16_emb sets bfloat16 so tables cost half the HBM. Gathered
+# rows are cast back to f32 AFTER the take (nn.Embed's own dtype arg
+# would promote the WHOLE table before gathering).
+_TABLE_DTYPE = None
+
+
+def set_table_dtype(dt) -> None:
+    global _TABLE_DTYPE
+    _TABLE_DTYPE = dt
+
+
+class StorageEmbed(nn.Embed):
+    """nn.Embed that gathers in storage dtype and casts only the gathered
+    rows to the compute dtype (f32). Param path is identical to nn.Embed
+    ('<name>/embedding'), so checkpoints and the catalog protocol see the
+    same tree."""
+
+    def __call__(self, inputs):
+        return jnp.take(self.embedding, inputs, axis=0).astype(jnp.float32)
+
+
 def embed(num: int, dim: int, name: Optional[str] = None) -> nn.Embed:
     """Embedding table; rows round up to the mesh row-pad quantum
     (parallel.mesh.set_table_row_pad) so 'model'-axis row-sharding always
     divides. Ids are < num, so the dead tail rows are never gathered."""
     from rechorus_tpu.parallel.mesh import pad_rows
 
+    if _TABLE_DTYPE is not None:
+        return StorageEmbed(pad_rows(num), dim, embedding_init=NORMAL_INIT,
+                            param_dtype=_TABLE_DTYPE, name=name)
     return nn.Embed(pad_rows(num), dim, embedding_init=NORMAL_INIT, name=name)
 
 

@@ -53,8 +53,15 @@ class LazyAdamTx:
         self.decay_mask = decay_mask
 
     def init(self, params) -> LazyAdamState:
-        zeros = lambda p: jax.tree.map(jnp.zeros_like, p)
-        return LazyAdamState(count=jnp.zeros((), jnp.int32), mu=zeros(params), nu=zeros(params))
+        # moments in f32 even for bf16-stored tables (--bf16_emb):
+        # "f32 accumulation" -- the Adam math runs in f32 and only the
+        # param write rounds to storage dtype
+        def zeros(p):
+            dt = jnp.float32 if p.dtype in (jnp.bfloat16, jnp.float16) else p.dtype
+            return jnp.zeros(p.shape, dt)
+
+        z = lambda tree: jax.tree.map(zeros, tree)
+        return LazyAdamState(count=jnp.zeros((), jnp.int32), mu=z(params), nu=z(params))
 
 
 def _leaf_paths(tree, prefix=()):
@@ -101,22 +108,24 @@ def lazy_adam_step(tx: LazyAdamTx, params, grads, state: LazyAdamState, rows_map
         decay = tx.l2 if (tx.l2 > 0 and (decay_mask is None or _get(decay_mask, path))) else 0.0
         if path in lazy_paths:
             rows = rows_map[path].astype(jnp.int32).ravel()
-            gr = g[rows]
+            pr = p[rows].astype(jnp.float32)   # f32 math; storage may be bf16
+            gr = g[rows].astype(jnp.float32)
             if decay:
-                gr = gr + decay * p[rows]
+                gr = gr + decay * pr
             mr = tx.b1 * m[rows] + (1.0 - tx.b1) * gr
             vr = tx.b2 * v[rows] + (1.0 - tx.b2) * gr * gr
             upd = tx.lr * (mr / bc1) / (jnp.sqrt(vr / bc2) + tx.eps)
-            new_params = _set(new_params, path, p.at[rows].set(p[rows] - upd))
+            new_params = _set(new_params, path, p.at[rows].set((pr - upd).astype(p.dtype)))
             new_mu = _set(new_mu, path, m.at[rows].set(mr))
             new_nu = _set(new_nu, path, v.at[rows].set(vr))
         else:
+            gf = g.astype(jnp.float32)
             if decay:
-                g = g + decay * p
-            m2 = tx.b1 * m + (1.0 - tx.b1) * g
-            v2 = tx.b2 * v + (1.0 - tx.b2) * g * g
+                gf = gf + decay * p.astype(jnp.float32)
+            m2 = tx.b1 * m + (1.0 - tx.b1) * gf
+            v2 = tx.b2 * v + (1.0 - tx.b2) * gf * gf
             upd = tx.lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + tx.eps)
-            new_params = _set(new_params, path, p - upd)
+            new_params = _set(new_params, path, (p.astype(jnp.float32) - upd).astype(p.dtype))
             new_mu = _set(new_mu, path, m2)
             new_nu = _set(new_nu, path, v2)
     return new_params, LazyAdamState(count=count, mu=new_mu, nu=new_nu)

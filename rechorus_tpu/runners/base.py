@@ -117,6 +117,10 @@ class BaseRunner:
                                  "(tf LazyAdam / torch SparseAdam semantics; "
                                  "3x+ step time at 1M-item scale). Adam only; "
                                  "untouched rows skip moment decay and l2.")
+        parser.add_argument("--bf16_emb", type=int, default=0,
+                            help="Store embedding tables in bfloat16 (half the "
+                                 "HBM; gathered rows cast to f32, Adam moments "
+                                 "stay f32). Requires --lazy_emb_adam.")
         parser.add_argument("--data_parallel", type=int, default=1,
                             help="Devices on the 'data' mesh axis (batch sharding).")
         parser.add_argument("--model_parallel", type=int, default=1,
@@ -145,6 +149,16 @@ class BaseRunner:
         self.profile_dir = getattr(args, "profile", "")
         self.scan_unroll = max(1, getattr(args, "scan_unroll", 1))
         self.lazy_emb_adam = bool(getattr(args, "lazy_emb_adam", 0))
+        self.bf16_emb = bool(getattr(args, "bf16_emb", 0))
+        if self.bf16_emb:
+            if not self.lazy_emb_adam:
+                logging.warning("--bf16_emb requires --lazy_emb_adam (f32 "
+                                "moments); keeping f32 tables")
+                self.bf16_emb = False
+            else:
+                from rechorus_tpu.ops.layers import set_table_dtype
+
+                set_table_dtype(jnp.bfloat16)  # process-global, like row pad
         self.approx_topk = bool(getattr(args, "approx_topk", 0))
         self.approx_topk_recall = float(getattr(args, "approx_topk_recall", 0.98))
         self.time = None

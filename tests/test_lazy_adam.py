@@ -133,3 +133,52 @@ def test_e2e_lazy_vs_dense_bprmf(tmp_path):
     assert np.isfinite(loss_l)
     assert abs(loss_d - loss_l) < 0.1, (loss_d, loss_l)
     assert abs(res_d["HR@5"] - res_l["HR@5"]) < 0.1, (res_d, res_l)
+
+
+@pytest.mark.slow
+def test_e2e_bf16_tables(tmp_path):
+    """--bf16_emb: tables stored bfloat16, moments f32, metrics within
+    noise of the f32 run, checkpoint round-trip preserved."""
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.data.synthetic import make_topk_dataset
+    from rechorus_tpu.ops.layers import set_table_dtype
+
+    make_topk_dataset(str(tmp_path / "Synth"), n_users=64, n_items=800, n_per_user=10, n_neg=9)
+
+    def run(bf16):
+        args = argparse.Namespace(
+            path=str(tmp_path), dataset="Synth", sep="\t",
+            epoch=3, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-2, l2=1e-6,
+            batch_size=64, eval_batch_size=32, optimizer="Adam", num_workers=0,
+            pin_memory=0, topk="5", metric="NDCG,HR", main_metric="",
+            model_path=str(tmp_path / f"m{bf16}.bin"), random_seed=0, num_neg=1,
+            dropout=0.0, test_all=0, emb_size=16, buffer=1,
+            lazy_emb_adam=1, bf16_emb=bf16, data_parallel=1, model_parallel=1,
+        )
+        corpus = registry.get_reader("BaseReader")(args)
+        model_cls = registry.get_model("BPRMF")
+        model = model_cls.from_args(args, corpus)
+        runner = registry.get_runner(model_cls.runner)(args)
+        batchers = {p: get_batcher(model_cls.batcher)(corpus, model, p, args)
+                    for p in ["train", "dev"]}
+        arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
+        state = runner.init_state(model, batchers["train"], 0)
+        if bf16:
+            assert state.params["i_embeddings"]["embedding"].dtype == jnp.bfloat16
+            assert state.opt_state.mu["i_embeddings"]["embedding"].dtype == jnp.float32
+        for e in range(1, 4):
+            state, loss = runner.fit(state, model, batchers["train"], arrays["train"], e, jax.random.key(0))
+        res = runner.evaluate(state, model, batchers["dev"], arrays["dev"], "dev", [5], ["HR", "NDCG"])
+        # checkpoint round-trip keeps the storage dtype
+        runner.save_model(state)
+        state2 = runner.load_model(state)
+        assert state2.params["i_embeddings"]["embedding"].dtype == state.params["i_embeddings"]["embedding"].dtype
+        return res
+
+    try:
+        res32 = run(0)
+        res16 = run(1)
+    finally:
+        set_table_dtype(None)
+    assert abs(res32["HR@5"] - res16["HR@5"]) < 0.12, (res32, res16)

@@ -68,18 +68,20 @@ def _tile_plan(n_rows: int, tile: int, bucket: int = 1):
     return n_full, n_full * tile, n_rows - n_full * tile, tile
 
 
-def _tile_scores(u, table, bias, start: int, rows: int, n_valid):
+def _tile_scores(u, table, bias, start: int, rows: int, n_valid, col_offset=0):
     """[B, rows] scores for table[start:start+rows] with pad masking.
 
     `start`/`rows` are Python ints (static): the slice is a plain lax
-    slice, not a gather."""
+    slice, not a gather. `col_offset` shifts LOCAL ids to GLOBAL ids for
+    the masks (a tracer inside shard_map -- masks are elementwise, so
+    that is fine)."""
     t = jax.lax.slice_in_dim(table, start, start + rows, axis=0)
     s = u @ t.T
     if bias is not None:
         s = s + jax.lax.slice_in_dim(bias, start, start + rows)[None, :]
-    cols = start + jnp.arange(rows)
+    cols = col_offset + start + jnp.arange(rows)
     ok = cols > 0
-    if n_valid is not None and start + rows > n_valid:
+    if n_valid is not None:
         ok = ok & (cols < n_valid)
     return jnp.where(ok[None, :], s, -jnp.inf)
 
@@ -97,7 +99,7 @@ def _bucket_max(s, bucket: int):
 def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
                        n_valid: int | None = None, bucket: int | None = None,
                        tile: int | None = None, approx: bool = False,
-                       recall_target: float = 0.98):
+                       recall_target: float = 0.98, col_offset=0):
     """Exact (or per-tile-approx) masked top-k over u @ table.T + bias,
     streamed over catalog tiles. Returns (values [B, k], item ids [B, k]).
 
@@ -105,6 +107,11 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
     `lax.approx_max_k` over raw scores (the serving fast lane); the merge
     and clicked knockout stay exact, so recall is >= the monolithic
     approx lane at the same recall_target.
+
+    col_offset (int or shard_map tracer): `table` holds GLOBAL rows
+    [col_offset, col_offset+N); masks, clicked comparisons and returned
+    ids are in global id space (n_valid too). Used by
+    parallel.topk.sharded_catalog_topk for shard-local streaming.
     """
     bucket = bucket or DEFAULT_BUCKET   # late-bound: tests/tuning override
     tile = tile or DEFAULT_TILE          # the module attrs at call time
@@ -115,7 +122,7 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
     n_full, full_span, tail_rows, tile = _tile_plan(N, tile, 1 if approx else bucket)
 
     def tile_candidates(start, rows):
-        s = _tile_scores(u, table, bias, start, rows, n_valid)
+        s = _tile_scores(u, table, bias, start, rows, n_valid, col_offset)
         if approx:
             kk = min(k_wide, rows)
             v, i = jax.lax.approx_max_k(s, kk, recall_target=recall_target)
@@ -135,7 +142,7 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
             s = u @ t.T
             if bias is not None:
                 s = s + jax.lax.dynamic_slice_in_dim(bias, start, tile)[None, :]
-            cols = start + jnp.arange(tile)
+            cols = col_offset + start + jnp.arange(tile)
             ok = cols > 0
             if n_valid is not None:
                 ok = ok & (cols < n_valid)
@@ -169,13 +176,14 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
         gb = jnp.take_along_axis(all_i, sel, axis=1)            # [B, kk] bucket ids
         cand = (gb[:, :, None] * bucket + jnp.arange(bucket)[None, None, :]).reshape(B, -1)
         cand = jnp.minimum(cand, N - 1).astype(jnp.int32)       # bucket tail past N
-        cvec = table[cand]                                      # [B, kk*bucket, D]
+        cvec = table[cand]                                      # [B, kk*bucket, D] (local rows)
         cs = jnp.einsum("bd,bcd->bc", u, cvec.astype(u.dtype))
         if bias is not None:
             cs = cs + bias[cand]
-        ok = cand > 0
+        gcand = cand + col_offset                               # global id space
+        ok = gcand > 0
         if n_valid is not None:
-            ok = ok & (cand < n_valid)
+            ok = ok & (gcand < n_valid)
         cs = jnp.where(ok, cs, -jnp.inf)
         # duplicate ids from the N-1 clamp can't outrank the true winners'
         # single copies (identical scores, later index loses top_k ties)
@@ -183,6 +191,8 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
     kw = min(k_wide, cs.shape[1])
     v, sel = jax.lax.top_k(cs, kw)
     ids = jnp.take_along_axis(cand, sel, axis=1)
+    if not isinstance(col_offset, int) or col_offset != 0:
+        ids = ids + col_offset  # local -> global (approx path added start only)
     if clicked_rows is not None:
         hit = (ids[:, :, None] == clicked_rows[:, None, :].astype(ids.dtype)).any(-1)
         v = jnp.where(hit, -jnp.inf, v)
@@ -250,3 +260,41 @@ def tiled_catalog_ranks(u, table, target_col, clicked_rows, bias=None,
     # 1 to the count and its clicked copy exactly 1 to clicked_ge_dense.
     # The tile counts exclude col 0 and the target's column, so:
     return total + 2 - clicked_ge.astype(jnp.int32) - target_in_clicked
+
+
+def tiled_ge_count(u, table, tscore, bias=None, clicked_rows=None,
+                   n_valid: int | None = None, col_offset=0,
+                   tile: int | None = None):
+    """#{cols: s >= tscore, col excluded-mask false} streamed over tiles:
+    the building block of the SHARDED rank path (parallel.topk), where
+    exclusions are by id (col 0, dead rows, clicked ids) and the target's
+    own column arrives pre-excluded via clicked_rows. Returns [B] int32.
+    `col_offset` shifts local ids to global for the masks (shard_map
+    tracer ok)."""
+    tile = tile or DEFAULT_TILE
+    N = table.shape[0]
+    n_full, full_span, tail_rows, tile = _tile_plan(N, tile)
+
+    def count(start, rows):
+        t = jax.lax.dynamic_slice_in_dim(table, start, rows, 0)
+        s = u @ t.T
+        if bias is not None:
+            s = s + jax.lax.dynamic_slice_in_dim(bias, start, rows)[None, :]
+        cols = col_offset + start + jnp.arange(rows)
+        gids = cols[None, :]
+        excl = (gids == 0)
+        if n_valid is not None:
+            excl = excl | (gids >= n_valid)
+        if clicked_rows is not None:
+            excl = excl | (gids[:, :, None] == clicked_rows[:, None, :]).any(-1)
+        ge = (s >= tscore[:, None]) & ~excl
+        return ge.sum(axis=1).astype(jnp.int32)
+
+    total = jnp.zeros((u.shape[0],), jnp.int32)
+    if n_full:
+        def tstep(acc, ti):
+            return acc + count(ti * tile, tile), None
+        total, _ = jax.lax.scan(tstep, total, jnp.arange(n_full))
+    if tail_rows:
+        total = total + count(full_span, tail_rows)
+    return total

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from rechorus_tpu.ops.topk import MIN_ROWS_FOR_TILED
+
 
 def sharded_catalog_topk(u_vecs, item_table, k: int, mesh: Mesh,
                          clicked_rows=None, item_bias=None,
@@ -42,13 +44,23 @@ def sharded_catalog_topk(u_vecs, item_table, k: int, mesh: Mesh,
     def local(u, items_shard, bias_shard, clicked):
         shard_n = items_shard.shape[0]
         offset = jax.lax.axis_index("model") * shard_n
-        scores = u @ items_shard.T + bias_shard[None, :]  # [B, N/m] on-shard MXU
-        gids = offset + jnp.arange(shard_n)[None, :]  # global item ids
-        mask = (gids == 0) | (gids >= nv) | (gids[:, :, None] == clicked[:, None, :]).any(-1)
-        scores = jnp.where(mask, -jnp.inf, scores)
         kk = min(k, shard_n)
-        v, i = jax.lax.top_k(scores, kk)  # local winners only
-        gi = i + offset
+        if shard_n >= MIN_ROWS_FOR_TILED:
+            # big shard: stream tiles instead of the [B, N/m] dense matrix
+            # (ops/topk.py hierarchical exact kernel, global-id masks via
+            # col_offset)
+            from rechorus_tpu.ops.topk import tiled_catalog_topk
+
+            v, gi = tiled_catalog_topk(u, items_shard, kk, bias=bias_shard,
+                                       clicked_rows=clicked, n_valid=nv,
+                                       col_offset=offset)
+        else:
+            scores = u @ items_shard.T + bias_shard[None, :]  # [B, N/m] on-shard MXU
+            gids = offset + jnp.arange(shard_n)[None, :]  # global item ids
+            mask = (gids == 0) | (gids >= nv) | (gids[:, :, None] == clicked[:, None, :]).any(-1)
+            scores = jnp.where(mask, -jnp.inf, scores)
+            v, i = jax.lax.top_k(scores, kk)  # local winners only
+            gi = i + offset
         v_all = jax.lax.all_gather(v, "model", axis=1, tiled=True)  # [B, m*k]
         i_all = jax.lax.all_gather(gi, "model", axis=1, tiled=True)
         v2, sel = jax.lax.top_k(v_all, min(k, v_all.shape[1]))
@@ -87,13 +99,31 @@ def sharded_catalog_ranks(u_vecs, item_table, target, mesh: Mesh,
     def local(u, items_shard, bias_shard, clicked, tgt):
         shard_n = items_shard.shape[0]
         offset = jax.lax.axis_index("model") * shard_n
-        scores = u @ items_shard.T + bias_shard[None, :]  # [B, N/m]
-        gids = offset + jnp.arange(shard_n)[None, :]
-        # target score: exactly one shard holds the row; sum+psum selects it
-        t_local = jnp.sum(jnp.where(gids == tgt[:, None], scores, 0.0), axis=1)
-        t = jax.lax.psum(t_local, "model")  # [B]
-        excluded = (gids == 0) | (gids >= nv) | (gids[:, :, None] == clicked[:, None, :]).any(-1)
-        ge = ((scores >= t[:, None]) & ~excluded).sum(axis=1)
+        if shard_n >= MIN_ROWS_FOR_TILED:
+            # big shard: gather the owner shard's target row for the
+            # score (einsum; exact ties with OTHER items may flip at 1
+            # ulp vs the tile matmul -- the target's own column is id-
+            # excluded via clicked, so the reference semantics hold),
+            # then stream the >=-count without the [B, N/m] matrix
+            from rechorus_tpu.ops.topk import tiled_ge_count
+
+            loc = tgt - offset
+            in_shard = (loc >= 0) & (loc < shard_n)
+            row = jnp.clip(loc, 0, shard_n - 1).astype(jnp.int32)
+            tv = jnp.einsum("bd,bd->b", u, items_shard[row].astype(u.dtype))
+            tv = tv + bias_shard[row]
+            t = jax.lax.psum(jnp.where(in_shard, tv, 0.0), "model")  # [B]
+            ge = tiled_ge_count(u, items_shard, t, bias=bias_shard,
+                                clicked_rows=clicked, n_valid=nv,
+                                col_offset=offset)
+        else:
+            scores = u @ items_shard.T + bias_shard[None, :]  # [B, N/m]
+            gids = offset + jnp.arange(shard_n)[None, :]
+            # target score: exactly one shard holds the row; sum+psum selects it
+            t_local = jnp.sum(jnp.where(gids == tgt[:, None], scores, 0.0), axis=1)
+            t = jax.lax.psum(t_local, "model")  # [B]
+            excluded = (gids == 0) | (gids >= nv) | (gids[:, :, None] == clicked[:, None, :]).any(-1)
+            ge = ((scores >= t[:, None]) & ~excluded).sum(axis=1)
         total = jax.lax.psum(ge, "model")
         return total + 1
 

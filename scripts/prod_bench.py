@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--lazy_adam", type=int, default=0,
                     help="Benchmark the --lazy_emb_adam lane (touched-rows "
                          "optimizer updates, ops/lazy_adam.py)")
+    ap.add_argument("--bf16", type=int, default=0,
+                    help="Benchmark --bf16_emb storage (with --lazy_adam)")
     a = ap.parse_args()
 
     import jax
@@ -49,6 +51,10 @@ def main():
     items = jnp.asarray(rng.integers(1, I, size=n_inter), dtype=jnp.int32)
     clicked = jnp.zeros((U, 1), dtype=jnp.int32)
 
+    if a.bf16:
+        from rechorus_tpu.ops.layers import set_table_dtype
+
+        set_table_dtype(jnp.bfloat16)
     model = get_model("BPRMF")(user_num=U, item_num=I, emb_size=D, num_neg=1)
     feed0 = {"user_id": users[:B], "item_id": jnp.stack([items[:B], items[B:2 * B]], 1)}
     params = model.init({"params": jax.random.key(0)}, feed0, training=False)["params"]

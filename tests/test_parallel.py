@@ -98,3 +98,42 @@ def test_dryrun_multichip_product_path():
         dryrun_multichip(8)
     finally:
         M.set_table_row_pad(1)
+
+
+def test_sharded_tiled_branch_matches_dense(mesh, monkeypatch):
+    """Big-shard branch (streamed tiles inside shard_map, ops/topk.py
+    kernels with col_offset): force the threshold down so the 128-row
+    shards take it; results must match the dense-shard branch."""
+    import rechorus_tpu.parallel.topk as ptopk
+    from rechorus_tpu.parallel.topk import sharded_catalog_ranks
+
+    rng = np.random.default_rng(5)
+    B, N, d, k = 16, 512, 32, 10
+    u = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+    clicked = np.zeros((B, 7), dtype=np.int32)
+    target = rng.integers(1, N, size=(B,))
+    for b in range(B):
+        clicked[b, 0] = target[b]  # residual set contains the target
+        clicked[b, 1:] = rng.choice(np.arange(1, N), size=6, replace=False)
+    clicked = jnp.asarray(clicked)
+    target = jnp.asarray(target, dtype=jnp.int32)
+
+    table_sharded = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    with jax.set_mesh(mesh):
+        want_v, want_i = sharded_catalog_topk(u, table_sharded, k, mesh,
+                                              clicked_rows=clicked, item_bias=bias)
+        want_r = sharded_catalog_ranks(u, table_sharded, target, mesh,
+                                       clicked, item_bias=bias)
+        monkeypatch.setattr(ptopk, "MIN_ROWS_FOR_TILED", 64)
+        got_v, got_i = sharded_catalog_topk(u, table_sharded, k, mesh,
+                                            clicked_rows=clicked, item_bias=bias)
+        got_r = sharded_catalog_ranks(u, table_sharded, target, mesh,
+                                      clicked, item_bias=bias)
+
+    np.testing.assert_allclose(np.asarray(want_v), np.asarray(got_v), rtol=1e-5, atol=1e-6)
+    diff = np.asarray(want_i) != np.asarray(got_i)
+    if diff.any():  # ties only
+        np.testing.assert_allclose(np.asarray(want_v)[diff], np.asarray(got_v)[diff], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(want_r), np.asarray(got_r))

@@ -32,6 +32,13 @@ from rechorus_tpu.registry import register_model
 
 @register_model("S3Rec")
 class S3Rec(SequentialModel):
+
+    def lazy_table_specs(self) -> dict:
+        # OPT OUT of --lazy_emb_adam: the mask-token / distillation rows
+        # are gathered inside the model (not listed in any feed key), so
+        # touched-rows updates would silently miss their grads
+        return {}
+
     batcher: ClassVar[str] = "s3rec"
     extra_log_args: ClassVar[list] = ["emb_size", "mip_weight", "sp_weight", "mask_ratio", "stage"]
 

@@ -17,6 +17,16 @@ from rechorus_tpu.registry import register_model
 
 @register_model("NeuMF")
 class NeuMF(GeneralModel):
+
+    def lazy_table_specs(self) -> dict:
+        # twin MF/MLP tables, all gathered by user_id/item_id only
+        return {
+            ("mf_u_embeddings", "embedding"): ("user_id",),
+            ("mlp_u_embeddings", "embedding"): ("user_id",),
+            ("mf_i_embeddings", "embedding"): ("item_id",),
+            ("mlp_i_embeddings", "embedding"): ("item_id",),
+        }
+
     extra_log_args: ClassVar[list] = ["emb_size", "layers"]
 
     emb_size: int = 64

@@ -100,6 +100,13 @@ class CaserEncoder(nn.Module):
 
 @register_model("ContraRec")
 class ContraRec(SequentialModel):
+
+    def lazy_table_specs(self) -> dict:
+        # OPT OUT of --lazy_emb_adam: the mask-token / distillation rows
+        # are gathered inside the model (not listed in any feed key), so
+        # touched-rows updates would silently miss their grads
+        return {}
+
     batcher: ClassVar[str] = "contra"
     extra_log_args: ClassVar[list] = ["gamma", "num_neg", "batch_size", "ctc_temp", "ccc_temp", "encoder"]
 

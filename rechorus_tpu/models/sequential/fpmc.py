@@ -19,6 +19,16 @@ from rechorus_tpu.registry import register_model
 
 @register_model("FPMC")
 class FPMC(SequentialModel):
+
+    def lazy_table_specs(self) -> dict:
+        # the 'last item' li-gather draws from history_items values
+        return {
+            ("ui_embeddings", "embedding"): ("user_id",),
+            ("iu_embeddings", "embedding"): ("item_id",),
+            ("il_embeddings", "embedding"): ("item_id",),
+            ("li_embeddings", "embedding"): ("history_items",),
+        }
+
     extra_log_args: ClassVar[list] = ["emb_size"]
     supports_catalog: ClassVar[bool] = True
 

@@ -80,6 +80,13 @@ class InterestPredictor(nn.Module):
 
 @register_model("TiMiRec")
 class TiMiRec(SequentialModel):
+
+    def lazy_table_specs(self) -> dict:
+        # OPT OUT of --lazy_emb_adam: the mask-token / distillation rows
+        # are gathered inside the model (not listed in any feed key), so
+        # touched-rows updates would silently miss their grads
+        return {}
+
     extra_log_args: ClassVar[list] = ["emb_size", "attn_size", "K", "temp", "add_pos", "add_trm", "n_layers"]
 
     emb_size: int = 64

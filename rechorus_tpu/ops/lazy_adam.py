@@ -58,7 +58,9 @@ class LazyAdamTx:
         # param write rounds to storage dtype
         def zeros(p):
             dt = jnp.float32 if p.dtype in (jnp.bfloat16, jnp.float16) else p.dtype
-            return jnp.zeros(p.shape, dt)
+            # zeros_like (not zeros): inherits the param's sharding, which
+            # parallel.mesh.shard_state depends on for the moments
+            return jnp.zeros_like(p, dtype=dt)
 
         z = lambda tree: jax.tree.map(zeros, tree)
         return LazyAdamState(count=jnp.zeros((), jnp.int32), mu=z(params), nu=z(params))

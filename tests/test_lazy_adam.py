@@ -182,3 +182,42 @@ def test_e2e_bf16_tables(tmp_path):
     finally:
         set_table_dtype(None)
     assert abs(res32["HR@5"] - res16["HR@5"]) < 0.12, (res32, res16)
+
+
+def test_lazy_adam_on_mesh(tmp_path):
+    """--lazy_emb_adam composes with the (data, model) mesh: scatter
+    row-updates on a row-sharded table compile + run under SPMD, loss
+    finite, moments inherit the table sharding."""
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.data.synthetic import make_topk_dataset
+    from rechorus_tpu.parallel import mesh as M
+
+    make_topk_dataset(str(tmp_path / "Synth"), n_users=32, n_items=2048,
+                      n_per_user=6, n_neg=9)
+    try:
+        args = argparse.Namespace(
+            path=str(tmp_path), dataset="Synth", sep="\t",
+            epoch=1, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-2, l2=1e-6,
+            batch_size=32, eval_batch_size=16, optimizer="Adam", num_workers=0,
+            pin_memory=0, topk="5", metric="NDCG,HR", main_metric="",
+            model_path="", random_seed=0, num_neg=2, dropout=0.0, test_all=0,
+            emb_size=16, history_max=6, buffer=1, num_layers=1, num_heads=2,
+            lazy_emb_adam=1, data_parallel=4, model_parallel=2,
+        )
+        corpus = registry.get_reader("SeqReader")(args)
+        model_cls = registry.get_model("SASRec")
+        model = model_cls.from_args(args, corpus)
+        runner = registry.get_runner(model_cls.runner)(args)
+        batcher = get_batcher(model_cls.batcher)(corpus, model, "train", args)
+        arrays = runner.place_arrays(batcher.device_arrays())
+        state = runner.init_state(model, batcher, 0)
+        assert runner._lazy_specs
+        table = state.params["i_embeddings"]["embedding"]
+        mu = state.opt_state.mu["i_embeddings"]["embedding"]
+        assert not table.sharding.is_fully_replicated
+        assert mu.sharding == table.sharding
+        state, loss = runner.fit(state, model, batcher, arrays, 1, jax.random.key(0))
+        assert np.isfinite(loss)
+    finally:
+        M.set_table_row_pad(1)

@@ -115,7 +115,8 @@ class BaseRunner:
         parser.add_argument("--lazy_emb_adam", type=int, default=0,
                             help="Touched-rows-only Adam for embedding tables "
                                  "(tf LazyAdam / torch SparseAdam semantics; "
-                                 "3x+ step time at 1M-item scale). Adam only; "
+                                 "~2x step time at 1M-item scale, slower below "
+                                 "~0.5M rows). Adam only; "
                                  "untouched rows skip moment decay and l2.")
         parser.add_argument("--bf16_emb", type=int, default=0,
                             help="Store embedding tables in bfloat16 (half the "

@@ -37,14 +37,51 @@ def set_table_dtype(dt) -> None:
     _TABLE_DTYPE = dt
 
 
-class StorageEmbed(nn.Embed):
-    """nn.Embed that gathers in storage dtype and casts only the gathered
-    rows to the compute dtype (f32). Param path is identical to nn.Embed
-    ('<name>/embedding'), so checkpoints and the catalog protocol see the
-    same tree."""
+# sparse-lookup context for the --sparse_emb_grad training lane: maps a
+# table's full param path, e.g. ('i_embeddings', 'embedding'), to
+# (sorted_rows [R], row_vals [R, D]). While set (only inside the train
+# step's loss_fn trace), TableEmbed resolves lookups from row_vals via
+# binary search instead of gathering the dense table, so the backward
+# pass produces an [R, D] cotangent instead of materializing an [N, D]
+# zeros+scatter for the whole table. Ids missing from sorted_rows (a
+# lazy_table_specs coverage gap) fall back to a stop-gradient dense
+# gather: the forward stays exact, only that row's update is dropped --
+# the same failure mode as the dense-grad lazy lane.
+_SPARSE_LOOKUP: dict = {}
+
+
+def set_sparse_lookup(mapping) -> None:
+    global _SPARSE_LOOKUP
+    _SPARSE_LOOKUP = mapping if mapping is not None else {}
+
+
+class TableEmbed(nn.Embed):
+    """nn.Embed that (a) gathers in storage dtype and casts only the
+    gathered rows to f32 (so --bf16_emb never promotes the whole table),
+    and (b) honors the sparse-lookup context above. Param path is
+    identical to nn.Embed ('<name>/embedding'), so checkpoints and the
+    catalog protocol see the same tree."""
 
     def __call__(self, inputs):
-        return jnp.take(self.embedding, inputs, axis=0).astype(jnp.float32)
+        table = self.embedding
+        out_dtype = jnp.float32 if table.dtype in (jnp.bfloat16, jnp.float16) else table.dtype
+        entry = None
+        if _SPARSE_LOOKUP:
+            path = tuple(self.scope.path) + ("embedding",)
+            entry = _SPARSE_LOOKUP.get(path)
+        if entry is None:
+            return jnp.take(table, inputs, axis=0).astype(out_dtype)
+        rows, vals = entry  # rows sorted ascending, vals [R, D] f32
+        pos = jnp.searchsorted(rows, inputs, side="left")
+        pos = jnp.clip(pos, 0, rows.shape[0] - 1)
+        hit = rows[pos] == inputs
+        fallback = jax.lax.stop_gradient(jnp.take(table, inputs, axis=0))
+        out = jnp.where(hit[..., None], vals[pos], fallback.astype(vals.dtype))
+        return out.astype(out_dtype)
+
+
+class StorageEmbed(TableEmbed):
+    """Backwards-compatible alias (bf16 storage tables)."""
 
 
 def embed(num: int, dim: int, name: Optional[str] = None) -> nn.Embed:
@@ -56,7 +93,7 @@ def embed(num: int, dim: int, name: Optional[str] = None) -> nn.Embed:
     if _TABLE_DTYPE is not None:
         return StorageEmbed(pad_rows(num), dim, embedding_init=NORMAL_INIT,
                             param_dtype=_TABLE_DTYPE, name=name)
-    return nn.Embed(pad_rows(num), dim, embedding_init=NORMAL_INIT, name=name)
+    return TableEmbed(pad_rows(num), dim, embedding_init=NORMAL_INIT, name=name)
 
 
 class MLPBlock(nn.Module):

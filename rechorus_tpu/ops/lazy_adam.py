@@ -133,6 +133,125 @@ def lazy_adam_step(tx: LazyAdamTx, params, grads, state: LazyAdamState, rows_map
     return new_params, LazyAdamState(count=count, mu=new_mu, nu=new_nu)
 
 
+def unique_rows(ids: jnp.ndarray, num_rows: int):
+    """Static-size sorted unique for the sparse-grad lane.
+
+    Returns (rows_sorted [R], scatter_rows [R]): rows_sorted is the
+    sorted unique ids padded at the tail with `num_rows - 1` (>= every
+    valid id, so the array stays globally sorted for searchsorted);
+    scatter_rows equals rows_sorted on real slots and `num_rows` (out of
+    range) on pad slots, so `.at[scatter_rows].set(..., mode='drop')`
+    updates each touched row exactly once and skips the padding. A
+    genuinely-touched `num_rows - 1` row sits in the sorted region with
+    count > 0; its pad duplicates are dropped."""
+    ids = ids.astype(jnp.int32).ravel()
+    rows, counts = jnp.unique(ids, size=ids.shape[0], fill_value=num_rows - 1,
+                              return_counts=True)
+    scatter = jnp.where(counts > 0, rows, num_rows)
+    return rows, scatter
+
+
+def sparse_rows_and_vals(params, rows_map):
+    """For each lazy table: unique-ify the touched ids and gather their
+    current values (f32 compute even for bf16 storage). Returns
+    (rows_info {path: (rows_sorted, scatter_rows)}, vals {path: [R, D]})."""
+    rows_info, vals = {}, {}
+    for path, ids in rows_map.items():
+        p = _get(params, path)
+        rows, scatter = unique_rows(ids, p.shape[0])
+        rows_info[path] = (rows, scatter)
+        vals[path] = p[rows].astype(jnp.float32)
+    return rows_info, vals
+
+
+def split_params(params, lazy_paths):
+    """Remove the lazy table leaves from the param tree (so jax.grad
+    never builds their dense cotangents). Returns (rest, reassemble)
+    where reassemble(rest) splices the original leaves back in for
+    model.apply -- they carry no gradient (the sparse lookup context
+    routes every covered gather through the [R, D] vals instead)."""
+    frozen = {path: _get(params, path) for path in lazy_paths}
+    rest = params
+    for path in lazy_paths:
+        rest = _del(rest, path)
+
+    def reassemble(rest_tree):
+        full = rest_tree
+        for path, leaf in frozen.items():
+            full = _set_create(full, path, leaf)
+        return full
+
+    return rest, reassemble
+
+
+def _del(tree, path):
+    out = dict(tree)
+    if len(path) == 1:
+        del out[path[0]]
+    else:
+        out[path[0]] = _del(tree[path[0]], path[1:])
+    return out
+
+
+def _set_create(tree, path, value):
+    if not path:
+        return value
+    out = dict(tree) if isinstance(tree, dict) else {}
+    out[path[0]] = _set_create(out.get(path[0], {}), path[1:], value)
+    return out
+
+
+def lazy_adam_sparse_step(tx: LazyAdamTx, params, state: LazyAdamState,
+                          rows_info, vals, g_vals, g_rest):
+    """Adam step for the sparse-grad lane: lazy tables update from their
+    [R, D] row gradients (`g_vals`, the cotangent of the gathered rows --
+    already aggregated across duplicate ids by the lookup's backward
+    pass); every other leaf runs the exact dense optax.adam math on
+    `g_rest`. The dense table is only ever touched by O(R) gathers and
+    mode='drop' scatters -- no [N, D] traffic."""
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - tx.b1 ** t
+    bc2 = 1.0 - tx.b2 ** t
+
+    decay_mask = tx.decay_mask
+    if callable(decay_mask):
+        decay_mask = decay_mask(params)
+
+    new_params, new_mu, new_nu = params, state.mu, state.nu
+    for path in rows_info:
+        rows, scatter = rows_info[path]
+        p = _get(params, path)
+        m, v = _get(state.mu, path), _get(state.nu, path)
+        decay = tx.l2 if (tx.l2 > 0 and (decay_mask is None or _get(decay_mask, path))) else 0.0
+        pr = vals[path]                       # [R, D] f32 (pre-update rows)
+        gr = g_vals[path].astype(jnp.float32)
+        if decay:
+            gr = gr + decay * pr
+        mr = tx.b1 * m[rows] + (1.0 - tx.b1) * gr
+        vr = tx.b2 * v[rows] + (1.0 - tx.b2) * gr * gr
+        upd = tx.lr * (mr / bc1) / (jnp.sqrt(vr / bc2) + tx.eps)
+        new_params = _set(new_params, path,
+                          p.at[scatter].set((pr - upd).astype(p.dtype), mode="drop"))
+        new_mu = _set(new_mu, path, m.at[scatter].set(mr, mode="drop"))
+        new_nu = _set(new_nu, path, v.at[scatter].set(vr, mode="drop"))
+
+    for path, g in _leaf_paths(g_rest):
+        p = _get(params, path)
+        m, v = _get(state.mu, path), _get(state.nu, path)
+        decay = tx.l2 if (tx.l2 > 0 and (decay_mask is None or _get(decay_mask, path))) else 0.0
+        gf = g.astype(jnp.float32)
+        if decay:
+            gf = gf + decay * p.astype(jnp.float32)
+        m2 = tx.b1 * m + (1.0 - tx.b1) * gf
+        v2 = tx.b2 * v + (1.0 - tx.b2) * gf * gf
+        upd = tx.lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + tx.eps)
+        new_params = _set(new_params, path, (p.astype(jnp.float32) - upd).astype(p.dtype))
+        new_mu = _set(new_mu, path, m2)
+        new_nu = _set(new_nu, path, v2)
+    return new_params, LazyAdamState(count=count, mu=new_mu, nu=new_nu)
+
+
 def resolve_lazy_rows(specs: dict, params, feed) -> dict:
     """{path: feed-key tuple} -> {path: concatenated id array}, keeping
     only paths that exist in this model's param tree and keys present in

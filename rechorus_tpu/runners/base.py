@@ -118,6 +118,13 @@ class BaseRunner:
                                  "~2x step time at 1M-item scale, slower below "
                                  "~0.5M rows). Adam only; "
                                  "untouched rows skip moment decay and l2.")
+        parser.add_argument("--sparse_emb_grad", type=int, default=1,
+                            help="With --lazy_emb_adam: differentiate w.r.t. the "
+                                 "gathered rows instead of the full table (lookups "
+                                 "resolve via binary search into the row block), so "
+                                 "the backward pass never materializes an [N, D] "
+                                 "dense table gradient. Same semantics as the "
+                                 "dense-grad lazy lane; 0 falls back to it.")
         parser.add_argument("--bf16_emb", type=int, default=0,
                             help="Store embedding tables in bfloat16 (half the "
                                  "HBM; gathered rows cast to f32, Adam moments "
@@ -150,6 +157,7 @@ class BaseRunner:
         self.profile_dir = getattr(args, "profile", "")
         self.scan_unroll = max(1, getattr(args, "scan_unroll", 1))
         self.lazy_emb_adam = bool(getattr(args, "lazy_emb_adam", 0))
+        self.sparse_emb_grad = bool(getattr(args, "sparse_emb_grad", 1))
         self.bf16_emb = bool(getattr(args, "bf16_emb", 0))
         if self.bf16_emb:
             if not self.lazy_emb_adam:
@@ -319,14 +327,48 @@ class BaseRunner:
                 loss = model.loss(out, feed)
                 return loss, new_vars
 
-            (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            rows_map = {}
             if getattr(self, "_lazy_specs", None):
-                from rechorus_tpu.ops.lazy_adam import lazy_adam_step, resolve_lazy_rows
+                from rechorus_tpu.ops.lazy_adam import resolve_lazy_rows
 
                 rows_map = resolve_lazy_rows(self._lazy_specs, state.params, feed)
+            if rows_map and self.sparse_emb_grad:
+                # sparse-grad lane: differentiate w.r.t. the gathered rows
+                # only. Lookups resolve from the [R, D] row block via the
+                # sparse-lookup context, so the backward pass never builds
+                # an [N, D] dense cotangent and the whole step is O(R)
+                # in table traffic.
+                from rechorus_tpu.ops import layers as _L
+                from rechorus_tpu.ops.lazy_adam import (
+                    lazy_adam_sparse_step, sparse_rows_and_vals, split_params)
+
+                rows_info, vals0 = sparse_rows_and_vals(state.params, rows_map)
+                rest0, reassemble = split_params(state.params, list(rows_map))
+
+                def sparse_loss_fn(vals, rest):
+                    _L.set_sparse_lookup({p: (rows_info[p][0], vals[p]) for p in rows_info})
+                    try:
+                        return loss_fn(reassemble(rest))
+                    finally:
+                        _L.set_sparse_lookup(None)
+
+                (loss, new_vars), (g_vals, g_rest) = jax.value_and_grad(
+                    sparse_loss_fn, argnums=(0, 1), has_aux=True)(vals0, rest0)
+                new_params, new_opt = lazy_adam_sparse_step(
+                    tx, state.params, state.opt_state, rows_info, vals0, g_vals, g_rest)
+            elif rows_map:
+                from rechorus_tpu.ops.lazy_adam import lazy_adam_step
+
+                (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
                 new_params, new_opt = lazy_adam_step(tx, state.params, grads,
                                                      state.opt_state, rows_map)
             else:
+                if getattr(self, "_lazy_specs", None):
+                    raise ValueError(
+                        "--lazy_emb_adam: lazy_table_specs matched no param/feed "
+                        "keys for this model's train feed; remove the flag or fix "
+                        "the model's lazy_table_specs()")
+                (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
                 updates, new_opt = tx.update(grads, state.opt_state, state.params)
                 new_params = optax.apply_updates(state.params, updates)
             extra = dict(state.extra_vars)

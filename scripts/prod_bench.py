@@ -34,6 +34,9 @@ def main():
                          "optimizer updates, ops/lazy_adam.py)")
     ap.add_argument("--bf16", type=int, default=0,
                     help="Benchmark --bf16_emb storage (with --lazy_adam)")
+    ap.add_argument("--sparse_grad", type=int, default=0,
+                    help="Benchmark the --sparse_emb_grad lane (row-block "
+                         "cotangents, no dense table grad; with --lazy_adam)")
     a = ap.parse_args()
 
     import jax
@@ -80,6 +83,28 @@ def main():
             out = model.apply({"params": p}, feed, training=True)
             return losses.bpr_multi_neg(out["prediction"])
 
+        if a.lazy_adam and a.sparse_grad:
+            from rechorus_tpu.ops import layers as L
+            from rechorus_tpu.ops.lazy_adam import (
+                lazy_adam_sparse_step, sparse_rows_and_vals, split_params)
+
+            rows_map = resolve_lazy_rows(specs, state.params, feed)
+            rows_info, vals0 = sparse_rows_and_vals(state.params, rows_map)
+            rest0, reassemble = split_params(state.params, list(rows_map))
+
+            def sparse_loss_fn(vals, rest):
+                L.set_sparse_lookup({p: (rows_info[p][0], vals[p]) for p in rows_info})
+                try:
+                    return loss_fn(reassemble(rest))
+                finally:
+                    L.set_sparse_lookup(None)
+
+            loss, (g_vals, g_rest) = jax.value_and_grad(
+                sparse_loss_fn, argnums=(0, 1))(vals0, rest0)
+            new_params, new_opt = lazy_adam_sparse_step(
+                tx, state.params, state.opt_state, rows_info, vals0, g_vals, g_rest)
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 step=state.step + 1), loss
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if a.lazy_adam:
             rows_map = resolve_lazy_rows(specs, state.params, feed)
@@ -108,7 +133,7 @@ def main():
     dt = (time.perf_counter() - t0) / 3
     print(json.dumps({"train_examples_per_s": round(n_steps * B / dt),
                       "s_per_epoch": round(dt, 3),
-                      "lazy_adam": a.lazy_adam,
+                      "lazy_adam": a.lazy_adam, "sparse_grad": a.sparse_grad,
                       "params_M": round(sum(x.size for x in jax.tree_util.tree_leaves(state.params)) / 1e6, 1)}), flush=True)
     if a.lazy_adam:
         return  # serving lanes don't depend on the optimizer

@@ -221,3 +221,108 @@ def test_lazy_adam_on_mesh(tmp_path):
         assert np.isfinite(loss)
     finally:
         M.set_table_row_pad(1)
+
+
+# --------------------------------------------------------------------- #
+# sparse-grad lane (--sparse_emb_grad)
+
+def test_unique_rows_semantics():
+    from rechorus_tpu.ops.lazy_adam import unique_rows
+
+    ids = jnp.asarray([5, 3, 5, 9, 3, 1], jnp.int32)
+    rows, scatter = unique_rows(ids, num_rows=10)
+    np.testing.assert_array_equal(np.asarray(rows), [1, 3, 5, 9, 9, 9])
+    # 9 == num_rows-1 is genuinely touched: its first slot scatters, the
+    # fill duplicates are routed out of range (dropped)
+    np.testing.assert_array_equal(np.asarray(scatter), [1, 3, 5, 9, 10, 10])
+    # untouched fill row: every pad slot dropped
+    rows2, scatter2 = unique_rows(jnp.asarray([2, 2, 0], jnp.int32), num_rows=10)
+    np.testing.assert_array_equal(np.asarray(rows2), [0, 2, 9])
+    np.testing.assert_array_equal(np.asarray(scatter2), [0, 2, 10])
+
+
+def test_table_embed_sparse_lookup_forward_and_grads():
+    """With the sparse-lookup context set, TableEmbed resolves covered ids
+    from the row block (grads flow to the [R, D] vals, aggregated across
+    duplicates) and uncovered ids from a stop-gradient dense gather (exact
+    forward, zero grad)."""
+    from rechorus_tpu.ops import layers as L
+    from rechorus_tpu.ops.lazy_adam import unique_rows
+
+    import flax.linen as nn
+
+    N, D = 12, 4
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return L.TableEmbed(N, D, embedding_init=L.NORMAL_INIT, name="tbl")(x)
+
+    mod = Wrap()
+    ids = jnp.asarray([[3, 7, 3], [0, 7, 11]], jnp.int32)
+    params = mod.init(jax.random.key(0), ids)
+    table = params["params"]["tbl"]["embedding"]
+
+    covered = jnp.asarray([3, 7, 0], jnp.int32)  # 11 deliberately uncovered
+    rows, _ = unique_rows(covered, N)
+    vals = table[rows]
+
+    def apply_sparse(vals):
+        L.set_sparse_lookup({("tbl", "embedding"): (rows, vals)})
+        try:
+            return mod.apply(params, ids)
+        finally:
+            L.set_sparse_lookup(None)
+
+    out_sparse = apply_sparse(vals)
+    out_dense = mod.apply(params, ids)
+    np.testing.assert_allclose(np.asarray(out_sparse), np.asarray(out_dense), atol=1e-7)
+
+    g = jax.grad(lambda v: (apply_sparse(v) ** 2).sum())(vals)
+    g_dense = jax.grad(lambda t: (jnp.take(t, ids, axis=0) ** 2).sum())(table)
+    # covered rows: aggregated over duplicates, matching the dense cotangent
+    for slot, row in enumerate(np.asarray(rows)):
+        if row in np.asarray(covered):
+            np.testing.assert_allclose(np.asarray(g[slot]), np.asarray(g_dense[row]),
+                                       atol=1e-6, err_msg=f"row {row}")
+    # uncovered id 11 contributed nothing anywhere
+    assert not np.any(np.isnan(np.asarray(g)))
+
+
+@pytest.mark.slow
+def test_e2e_sparse_vs_dense_grad_lazy(tmp_path):
+    """The sparse-grad lane trains to (near-)identical params as the
+    dense-grad lazy lane: same math, only the cotangent representation
+    differs (fp reduction order => tiny tolerances)."""
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.data.synthetic import make_topk_dataset
+
+    make_topk_dataset(str(tmp_path / "Synth"), n_users=48, n_items=600, n_per_user=8, n_neg=9)
+
+    def run(sparse):
+        args = argparse.Namespace(
+            path=str(tmp_path), dataset="Synth", sep="\t",
+            epoch=2, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-2, l2=1e-6,
+            batch_size=48, eval_batch_size=24, optimizer="Adam", num_workers=0,
+            pin_memory=0, topk="5", metric="NDCG,HR", main_metric="",
+            model_path="", random_seed=0, num_neg=1, dropout=0.0, test_all=0,
+            emb_size=16, buffer=1, lazy_emb_adam=1, sparse_emb_grad=sparse,
+            data_parallel=1, model_parallel=1,
+        )
+        corpus = registry.get_reader("BaseReader")(args)
+        model_cls = registry.get_model("BPRMF")
+        model = model_cls.from_args(args, corpus)
+        runner = registry.get_runner(model_cls.runner)(args)
+        batcher = get_batcher(model_cls.batcher)(corpus, model, "train", args)
+        arrays = runner.place_arrays(batcher.device_arrays())
+        state = runner.init_state(model, batcher, 0)
+        for e in range(1, 3):
+            state, loss = runner.fit(state, model, batcher, arrays, e, jax.random.key(7))
+        return state.params, loss
+
+    p0, l0 = run(0)
+    p1, l1 = run(1)
+    assert abs(float(l0) - float(l1)) < 1e-4, (l0, l1)
+    for (a, b) in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

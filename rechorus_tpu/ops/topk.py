@@ -48,12 +48,24 @@ import jax.numpy as jnp
 # (measured crossover, 1 chip, B=4096, D=64: tiled exact already wins at
 # 16k items -- 137k vs 99k users/s -- and the gap widens with N)
 MIN_ROWS_FOR_TILED = 16384
+# Pallas-fused stage 1 (ops/pallas_topk.py): "auto" = TPU only (the
+# interpret-mode fallback is far slower than the scan kernels on CPU),
+# "on" = always (tests), "off" = never
+PALLAS = "auto"
 # the monolithic approx_max_k lane stays faster than per-tile approx
 # (~180k users/s flat) until the [B, N] score matrix stops fitting; route
 # dense-approx below this element count (f32: 2 GB), tiled-approx above
 DENSE_APPROX_MAX_ELEMS = 1 << 29
 DEFAULT_TILE = 131072
 DEFAULT_BUCKET = 16
+
+
+def _use_pallas() -> bool:
+    if PALLAS == "off":
+        return False
+    if PALLAS == "on":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _tile_plan(n_rows: int, tile: int, bucket: int = 1):
@@ -96,6 +108,39 @@ def _bucket_max(s, bucket: int):
     return s.reshape(B, -1, bucket).max(-1)
 
 
+def _exact_rescore(u, table, bias, cand, col_offset, n_valid):
+    """Gather the candidate rows, rescore exactly, mask by global id.
+    Duplicate ids (from clamping expansion overhang to N-1) can't outrank
+    the true winners' single copies: identical scores, later index loses
+    top_k ties."""
+    cvec = table[cand]                                      # [B, C, D] (local rows)
+    cs = jnp.einsum("bd,bcd->bc", u, cvec.astype(u.dtype))
+    if bias is not None:
+        cs = cs + bias[cand]
+    gcand = cand + col_offset                               # global id space
+    ok = gcand > 0
+    if n_valid is not None:
+        ok = ok & (gcand < n_valid)
+    return jnp.where(ok, cs, -jnp.inf)
+
+
+def _final_select(cs, cand, k, k_wide, clicked_rows, col_offset):
+    """Top-k over rescored candidates + clicked knockout; ids -> global."""
+    kw = min(k_wide, cs.shape[1])
+    v, sel = jax.lax.top_k(cs, kw)
+    ids = jnp.take_along_axis(cand, sel, axis=1)
+    if not isinstance(col_offset, int) or col_offset != 0:
+        ids = ids + col_offset  # local -> global
+    if clicked_rows is not None:
+        hit = (ids[:, :, None] == clicked_rows[:, None, :].astype(ids.dtype)).any(-1)
+        v = jnp.where(hit, -jnp.inf, v)
+        v, sel2 = jax.lax.top_k(v, min(k, kw))
+        ids = jnp.take_along_axis(ids, sel2, axis=1)
+    else:
+        v, ids = v[:, :k], ids[:, :k]
+    return v, ids
+
+
 def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
                        n_valid: int | None = None, bucket: int | None = None,
                        tile: int | None = None, approx: bool = False,
@@ -119,6 +164,21 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
     N = table.shape[0]
     M = clicked_rows.shape[1] if clicked_rows is not None else 0
     k_wide = min(k + M, N)
+
+    if not approx and _use_pallas() and N >= bucket * 128:
+        # fused stage 1: matmul + mask + strided-bucket max in VMEM
+        # (ops/pallas_topk.py); stage 2 identical modulo the strided
+        # bucket -> item expansion
+        from rechorus_tpu.ops import pallas_topk as PT
+
+        bm = PT.fused_bucket_max(u, table, bucket=bucket, bias=bias,
+                                 n_valid=n_valid, col_offset=col_offset)
+        kk = min(k_wide, bm.shape[1])
+        _, gb = jax.lax.top_k(bm, kk)
+        cand = jnp.minimum(PT.expand_bucket_items(gb, bucket), N - 1).astype(jnp.int32)
+        cs = _exact_rescore(u, table, bias, cand, col_offset, n_valid)
+        return _final_select(cs, cand, k, k_wide, clicked_rows, col_offset)
+
     n_full, full_span, tail_rows, tile = _tile_plan(N, tile, 1 if approx else bucket)
 
     def tile_candidates(start, rows):
@@ -176,31 +236,9 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
         gb = jnp.take_along_axis(all_i, sel, axis=1)            # [B, kk] bucket ids
         cand = (gb[:, :, None] * bucket + jnp.arange(bucket)[None, None, :]).reshape(B, -1)
         cand = jnp.minimum(cand, N - 1).astype(jnp.int32)       # bucket tail past N
-        cvec = table[cand]                                      # [B, kk*bucket, D] (local rows)
-        cs = jnp.einsum("bd,bcd->bc", u, cvec.astype(u.dtype))
-        if bias is not None:
-            cs = cs + bias[cand]
-        gcand = cand + col_offset                               # global id space
-        ok = gcand > 0
-        if n_valid is not None:
-            ok = ok & (gcand < n_valid)
-        cs = jnp.where(ok, cs, -jnp.inf)
-        # duplicate ids from the N-1 clamp can't outrank the true winners'
-        # single copies (identical scores, later index loses top_k ties)
+        cs = _exact_rescore(u, table, bias, cand, col_offset, n_valid)
 
-    kw = min(k_wide, cs.shape[1])
-    v, sel = jax.lax.top_k(cs, kw)
-    ids = jnp.take_along_axis(cand, sel, axis=1)
-    if not isinstance(col_offset, int) or col_offset != 0:
-        ids = ids + col_offset  # local -> global (approx path added start only)
-    if clicked_rows is not None:
-        hit = (ids[:, :, None] == clicked_rows[:, None, :].astype(ids.dtype)).any(-1)
-        v = jnp.where(hit, -jnp.inf, v)
-        v, sel2 = jax.lax.top_k(v, min(k, kw))
-        ids = jnp.take_along_axis(ids, sel2, axis=1)
-    else:
-        v, ids = v[:, :k], ids[:, :k]
-    return v, ids
+    return _final_select(cs, cand, k, k_wide, clicked_rows, col_offset)
 
 
 def tiled_catalog_ranks(u, table, target_col, clicked_rows, bias=None,
@@ -221,6 +259,14 @@ def tiled_catalog_ranks(u, table, target_col, clicked_rows, bias=None,
 
     N = table.shape[0]
     n_full, full_span, tail_rows, tile = _tile_plan(N, tile)
+
+    if _use_pallas():
+        from rechorus_tpu.ops import pallas_topk as PT
+
+        total = PT.fused_ge_count(u, table, tscore, target_col=target_col,
+                                  bias=bias, n_valid=n_valid)
+        return _ranks_epilogue(u, table, bias, target_col, tscore,
+                               clicked_rows, total)
 
     def count_ge(start, rows):
         t = jax.lax.dynamic_slice_in_dim(table, start, rows, 0)
@@ -244,7 +290,10 @@ def tiled_catalog_ranks(u, table, target_col, clicked_rows, bias=None,
         total, _ = jax.lax.scan(tstep, total, jnp.arange(n_full))
     if tail_rows:
         total = total + count_ge(full_span, tail_rows)
+    return _ranks_epilogue(u, table, bias, target_col, tscore, clicked_rows, total)
 
+
+def _ranks_epilogue(u, table, bias, target_col, tscore, clicked_rows, total):
     cvec = table[clicked_rows.astype(jnp.int32)]                # [B, M, D]
     cscore = jnp.einsum("bd,bmd->bm", u, cvec.astype(u.dtype))
     if bias is not None:
@@ -264,16 +313,48 @@ def tiled_catalog_ranks(u, table, target_col, clicked_rows, bias=None,
 
 def tiled_ge_count(u, table, tscore, bias=None, clicked_rows=None,
                    n_valid: int | None = None, col_offset=0,
-                   tile: int | None = None):
+                   tile: int | None = None, target_col=None):
     """#{cols: s >= tscore, col excluded-mask false} streamed over tiles:
     the building block of the SHARDED rank path (parallel.topk), where
     exclusions are by id (col 0, dead rows, clicked ids) and the target's
     own column arrives pre-excluded via clicked_rows. Returns [B] int32.
     `col_offset` shifts local ids to global for the masks (shard_map
-    tracer ok)."""
+    tracer ok). `target_col` ([B] GLOBAL ids, optional) marks the column
+    whose score defines tscore: the Pallas path must exclude it by id
+    (its matmul score vs the gathered tscore is a systematic 1-ulp tie);
+    the scan path excludes it via clicked_rows like every clicked id, so
+    it ignores this hint."""
     tile = tile or DEFAULT_TILE
     N = table.shape[0]
     n_full, full_span, tail_rows, tile = _tile_plan(N, tile)
+
+    if _use_pallas():
+        from rechorus_tpu.ops import pallas_topk as PT
+
+        total = PT.fused_ge_count(u, table, tscore, bias=bias,
+                                  n_valid=n_valid, col_offset=col_offset,
+                                  target_col=target_col)
+        if clicked_rows is not None:
+            # clicked exclusion via a gathered correction: subtract the
+            # clicked columns the fused count included (in-shard, id > 0,
+            # id < n_valid, != target). Scores come from a [B, M, D]
+            # einsum -- 1 ulp from the kernel's matmul at exact CROSS-item
+            # ties (measure-zero; same caveat as _ranks_epilogue); clicked
+            # ids are unique per row by contract.
+            local = clicked_rows.astype(jnp.int32) - col_offset
+            in_shard = (local >= 0) & (local < N)
+            rows = jnp.clip(local, 0, N - 1)
+            cs = jnp.einsum("bd,bmd->bm", u, table[rows].astype(u.dtype))
+            if bias is not None:
+                cs = cs + bias[rows]
+            ok = in_shard & (clicked_rows > 0)
+            if n_valid is not None:
+                ok = ok & (clicked_rows < n_valid)
+            if target_col is not None:
+                ok = ok & (clicked_rows != target_col[:, None])
+            sub = ((cs >= tscore[:, None]) & ok).sum(axis=1)
+            total = total - sub.astype(jnp.int32)
+        return total
 
     def count(start, rows):
         t = jax.lax.dynamic_slice_in_dim(table, start, rows, 0)

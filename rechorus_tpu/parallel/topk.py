@@ -115,7 +115,7 @@ def sharded_catalog_ranks(u_vecs, item_table, target, mesh: Mesh,
             t = jax.lax.psum(jnp.where(in_shard, tv, 0.0), "model")  # [B]
             ge = tiled_ge_count(u, items_shard, t, bias=bias_shard,
                                 clicked_rows=clicked, n_valid=nv,
-                                col_offset=offset)
+                                col_offset=offset, target_col=tgt)
         else:
             scores = u @ items_shard.T + bias_shard[None, :]  # [B, N/m]
             gids = offset + jnp.arange(shard_n)[None, :]

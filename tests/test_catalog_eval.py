@@ -189,3 +189,19 @@ def test_tiled_catalog_route_matches_dense(corpus, monkeypatch):
     diff = items_dense != items_tiled
     if diff.any():  # ties only
         np.testing.assert_allclose(scores_dense[diff], scores_tiled[diff], rtol=2e-5, atol=1e-5)
+
+    # Pallas-fused stage 1 (interpret mode on CPU) through the same
+    # product route: bucket lowered so the 1501-row table is eligible
+    # (route needs N >= bucket*128)
+    monkeypatch.setattr(topk_ops, "DEFAULT_BUCKET", 8)
+    monkeypatch.setattr(topk_ops, "PALLAS", "on")
+    runner._compiled.pop("test", None)
+    runner._compiled.pop(("test", "topk", 20), None)
+    ranks_pl = runner.predict_ranks(state, model, batchers["test"], arrays["test"], "test")
+    items_pl, scores_pl = runner.predict_topk(
+        state, model, batchers["test"], arrays["test"], "test", k=20)
+    np.testing.assert_array_equal(ranks_dense, ranks_pl)
+    np.testing.assert_allclose(scores_dense, scores_pl, rtol=2e-5, atol=1e-5)
+    diff = items_dense != items_pl
+    if diff.any():  # ties only
+        np.testing.assert_allclose(scores_dense[diff], scores_pl[diff], rtol=2e-5, atol=1e-5)

@@ -40,26 +40,32 @@ class BUIR(GeneralModel):
 
     @nn.compact
     def __call__(self, feed, training: bool = False):
-        user_online = self.param("user_online", XAVIER, (self.user_num, self.emb_size))
-        item_online = self.param("item_online", XAVIER, (self.item_num, self.emb_size))
+        from rechorus_tpu.ops.layers import embed
+        from rechorus_tpu.parallel.mesh import pad_rows
+
+        # TableEmbed (not raw params): required for --bf16_emb and the
+        # --sparse_emb_grad lookup context (ops/layers.embed docstring)
+        user_online = embed(self.user_num, self.emb_size, "user_online", init=XAVIER)
+        item_online = embed(self.item_num, self.emb_size, "item_online", init=XAVIER)
         # reference init_weights: Linear weight xavier_normal, bias N(0,1)
         predictor = nn.Dense(self.emb_size, kernel_init=XAVIER,
                              bias_init=nn.initializers.normal(1.0), name="predictor")
 
         user, items = feed["user_id"], feed["item_id"]
-        u_on = user_online[user]  # [B, d]
-        i_on = item_online[items]  # [B, C, d]
+        u_on = user_online(user)  # [B, d]
+        i_on = item_online(items)  # [B, C, d]
         prediction = (predictor(i_on) * u_on[:, None, :]).sum(-1) + \
                      (predictor(u_on)[:, None, :] * i_on).sum(-1)
         out = {"prediction": prediction}
 
         if training:
             # target tables: EMA copies of the online ones, initialized to
-            # the same values by post_init_state (reference BUIR.py:50-56)
+            # the same values by post_init_state (reference BUIR.py:50-56);
+            # shapes follow the online tables' row padding
             u_t = self.variable("target", "user_target",
-                                lambda: jnp.zeros((self.user_num, self.emb_size)))
+                                lambda: jnp.zeros((pad_rows(self.user_num), self.emb_size)))
             i_t = self.variable("target", "item_target",
-                                lambda: jnp.zeros((self.item_num, self.emb_size)))
+                                lambda: jnp.zeros((pad_rows(self.item_num), self.emb_size)))
             out.update({
                 "u_online": predictor(u_on),
                 "u_target": u_t.value[user],
@@ -86,8 +92,8 @@ class BUIR(GeneralModel):
         # params (the jitted epoch fn donates its input state; aliased
         # leaves would be donated twice)
         tgt = dict(state.extra_vars.get("target", {}))
-        tgt["user_target"] = jnp.copy(state.params["user_online"])
-        tgt["item_target"] = jnp.copy(state.params["item_online"])
+        tgt["user_target"] = jnp.copy(state.params["user_online"]["embedding"])
+        tgt["item_target"] = jnp.copy(state.params["item_online"]["embedding"])
         extra = dict(state.extra_vars)
         extra["target"] = tgt
         return state.replace(extra_vars=extra)
@@ -96,9 +102,18 @@ class BUIR(GeneralModel):
         m = self.momentum
         tgt = extra_vars["target"]
         new_tgt = {
-            "user_target": tgt["user_target"] * m + params["user_online"] * (1.0 - m),
-            "item_target": tgt["item_target"] * m + params["item_online"] * (1.0 - m),
+            "user_target": tgt["user_target"] * m + params["user_online"]["embedding"] * (1.0 - m),
+            "item_target": tgt["item_target"] * m + params["item_online"]["embedding"] * (1.0 - m),
         }
         out = dict(extra_vars)
         out["target"] = new_tgt
         return out
+
+    def lazy_table_specs(self) -> dict:
+        # online twins only; the EMA target update is a full-table op by
+        # construction (not an optimizer update), so lazy Adam's benefit
+        # is bounded by it at scale
+        return {
+            ("user_online", "embedding"): ("user_id",),
+            ("item_online", "embedding"): ("item_id",),
+        }

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from rechorus_tpu.models.base import GeneralModel
-from rechorus_tpu.ops.layers import NORMAL_INIT
+from rechorus_tpu.ops.layers import embed
 from rechorus_tpu.registry import register_model
 
 
@@ -45,14 +45,20 @@ class CFKG(GeneralModel):
         kw["relation_num"] = corpus.n_relations
         return kw
 
+    def lazy_table_specs(self) -> dict:
+        # the joint [users | entities] table is the big one; r_embeddings
+        # is [n_relations, d] (tiny) and stays dense
+        return {("e_embeddings", "embedding"): ("head_id", "tail_id")}
+
     @nn.compact
     def __call__(self, feed, training: bool = False):
-        e_emb = self.param("e_embeddings", NORMAL_INIT,
-                           (self.user_num + self.entity_num, self.emb_size))
-        r_emb = self.param("r_embeddings", NORMAL_INIT, (self.relation_num, self.emb_size))
-        head = e_emb[feed["head_id"]]
-        tail = e_emb[feed["tail_id"]]
-        relation = r_emb[feed["relation_id"]]
+        # TableEmbed (not raw params): required for --bf16_emb and the
+        # --sparse_emb_grad lookup context (ops/layers.embed docstring)
+        e_emb = embed(self.user_num + self.entity_num, self.emb_size, "e_embeddings")
+        r_emb = embed(self.relation_num, self.emb_size, "r_embeddings")
+        head = e_emb(feed["head_id"])
+        tail = e_emb(feed["tail_id"])
+        relation = r_emb(feed["relation_id"])
         prediction = -((head + relation - tail) ** 2).sum(-1)
         return {"prediction": prediction}
 

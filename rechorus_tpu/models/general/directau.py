@@ -16,6 +16,7 @@ import flax.linen as nn
 
 from rechorus_tpu.models.base import GeneralModel
 from rechorus_tpu.ops import losses
+from rechorus_tpu.ops.layers import embed
 from rechorus_tpu.registry import register_model
 
 XAVIER = nn.initializers.xavier_normal()
@@ -37,11 +38,13 @@ class DirectAU(GeneralModel):
 
     @nn.compact
     def __call__(self, feed, training: bool = False):
-        u_emb = self.param("u_embeddings", XAVIER, (self.user_num, self.emb_size))
-        i_emb = self.param("i_embeddings", XAVIER, (self.item_num, self.emb_size))
+        # TableEmbed (not raw params): required for --bf16_emb and the
+        # --sparse_emb_grad lookup context (ops/layers.embed docstring)
+        u_emb = embed(self.user_num, self.emb_size, "u_embeddings", init=XAVIER)
+        i_emb = embed(self.item_num, self.emb_size, "i_embeddings", init=XAVIER)
         user, items = feed["user_id"], feed["item_id"]
-        user_e = u_emb[user]  # [B, d]
-        item_e = i_emb[items]  # [B, C, d]
+        user_e = u_emb(user)  # [B, d]
+        item_e = i_emb(items)  # [B, C, d]
         prediction = (user_e[:, None, :] * item_e).sum(-1)
         out = {"prediction": prediction}
         if training:

@@ -102,6 +102,12 @@ class LightGCN(GeneralModel, LightGCNBase):
     extra_log_args: ClassVar[list] = ["emb_size", "n_layers", "batch_size"]
     supports_catalog: ClassVar[bool] = True
 
+    def lazy_table_specs(self) -> dict:
+        # OPT OUT of --lazy_emb_adam: graph propagation back-propagates
+        # into EVERY user/item row each step (the segment_sum conv), so
+        # touched-rows updates are the full table anyway
+        return {}
+
     emb_size: int = 64
     n_layers: int = 3
     adj_factory: Any = None

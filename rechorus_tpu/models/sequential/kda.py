@@ -24,6 +24,7 @@ import numpy as np
 
 from rechorus_tpu.models.base import SequentialModel
 from rechorus_tpu.ops import losses
+from rechorus_tpu.ops import layers as L
 from rechorus_tpu.ops.layers import MultiHeadAttention, NORMAL_INIT, dense
 from rechorus_tpu.registry import register_model
 
@@ -103,24 +104,42 @@ class KDA(SequentialModel):
         imag_part = jnp.sin(w)[:, :, None, :] * x_imag[None, None, :, :]
         return (real_part - imag_part).mean(axis=-1) / 2.0  # [B, H, R]
 
+    def lazy_table_specs(self) -> dict:
+        # the entity table is gathered by candidates, history, the KG
+        # triple batch and item values; relation/freq tables are [R, *]
+        # (tiny) and stay dense
+        return {
+            ("user_embeddings", "embedding"): ("user_id",),
+            ("item_bias", "embedding"): ("item_id",),
+            ("entity_embeddings", "embedding"): (
+                "item_id", "history_items", "item_val",
+                "head_id", "tail_id", "value_id",
+                "history_items_a", "history_items_b",
+            ),
+        }
+
     @nn.compact
     def __call__(self, feed, training: bool = False):
         R, d = self.relation_num, self.emb_size
-        user_emb = self.param("user_embeddings", NORMAL_INIT, (self.user_num, d))
-        entity_emb = self.param("entity_embeddings", NORMAL_INIT, (self.entity_num, d))
+        # TableEmbed (not raw params) for the id-gathered tables: required
+        # for --bf16_emb and the --sparse_emb_grad lookup context
+        # (ops/layers.embed docstring)
+        user_emb = L.embed(self.user_num, d, "user_embeddings")
+        entity_tbl = L.embed(self.entity_num, d, "entity_embeddings")
+        entity_emb = entity_tbl  # gathers below go through TableEmbed
         relation_emb = self.param("relation_embeddings", NORMAL_INIT, (R, d))
         freq_real = self.param("freq_real", self._freq_init(0), (R, self.freq_dim))
         freq_imag = self.param("freq_imag", self._freq_init(1), (R, self.freq_dim))
-        item_bias = self.param("item_bias", NORMAL_INIT, (self.item_num, 1))
+        item_bias = L.embed(self.item_num, 1, "item_bias")
 
         u_ids, i_ids = feed["user_id"], feed["item_id"]
         history = feed["history_items"]  # [B, H]
         delta_t_n = feed["history_delta_t"]  # [B, H]
         B, H = history.shape
 
-        u_vectors = user_emb[u_ids]  # [B, d]
-        i_vectors = entity_emb[i_ids]  # [B, C, d]
-        v_vectors = entity_emb[feed["item_val"]]  # [B, C, R, d]
+        u_vectors = user_emb(u_ids)  # [B, d]
+        i_vectors = entity_emb(i_ids)  # [B, C, d]
+        v_vectors = entity_emb(feed["item_val"])  # [B, C, R, d]
 
         # submodules created ONCE so repeated encode() calls (ContraKDA's
         # augmented views) share parameters
@@ -138,7 +157,7 @@ class KDA(SequentialModel):
             """Relational dynamic aggregation + relation self-attention +
             pooling -> per-candidate history vector [B, C, d]
             (KDA.py:288-303)."""
-            his_vecs = entity_emb[hist]  # [B, H, d]
+            his_vecs = entity_emb(hist)  # [B, H, d]
             if self.include_val:
                 rv = relation_emb[None, None, :, :] + v_vec
                 ri_vectors = rv * i_vec[:, :, None, :]  # [B, C, R, d]
@@ -172,7 +191,7 @@ class KDA(SequentialModel):
 
         his_vector = encode(i_vectors, v_vectors, history, delta_t_n)
 
-        i_bias = item_bias[i_ids][..., 0]
+        i_bias = item_bias(i_ids)[..., 0]
         prediction = ((u_vectors[:, None, :] + his_vector) * i_vectors).sum(-1) + i_bias
         out = {"prediction": prediction}
 
@@ -191,9 +210,9 @@ class KDA(SequentialModel):
             out["labels"] = jnp.take_along_axis(i_ids, tcol, axis=1)[:, 0]
 
         if "head_id" in feed:  # joint KG batch (train)
-            head_v = entity_emb[feed["head_id"]]  # [B, 1+N, d]
-            tail_v = entity_emb[feed["tail_id"]]
-            value_v = entity_emb[feed["value_id"]]  # [B, d]
+            head_v = entity_emb(feed["head_id"])  # [B, 1+N, d]
+            tail_v = entity_emb(feed["tail_id"])
+            value_v = entity_emb(feed["value_id"])  # [B, d]
             relation_v = relation_emb[feed["relation_id"]]  # [B, d]
             if self.include_val:
                 rel = (relation_v + value_v)[:, None, :]

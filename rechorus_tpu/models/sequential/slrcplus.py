@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from rechorus_tpu.models.base import SequentialModel
-from rechorus_tpu.ops.layers import NORMAL_INIT
+from rechorus_tpu.ops.layers import embed
 from rechorus_tpu.registry import register_model
 
 
@@ -53,6 +53,22 @@ class SLRCPlus(SequentialModel):
         kw["relation_num"] = len(corpus.item_relations) + 1
         return kw
 
+    def lazy_table_specs(self) -> dict:
+        # every [n_items, *] Hawkes-parameter table is gathered by the
+        # candidate ids, the MF tables by user/item ids; global_alpha is
+        # a scalar and stays dense
+        return {
+            ("u_embeddings", "embedding"): ("user_id",),
+            ("user_bias", "embedding"): ("user_id",),
+            ("i_embeddings", "embedding"): ("item_id",),
+            ("item_bias", "embedding"): ("item_id",),
+            ("alphas", "embedding"): ("item_id",),
+            ("pis", "embedding"): ("item_id",),
+            ("mus", "embedding"): ("item_id",),
+            ("betas", "embedding"): ("item_id",),
+            ("sigmas", "embedding"): ("item_id",),
+        }
+
     @nn.compact
     def __call__(self, feed, training: bool = False):
         R = self.relation_num
@@ -60,22 +76,24 @@ class SLRCPlus(SequentialModel):
         i_ids = feed["item_id"]
         r_intervals = feed["relational_interval"]  # [B, C, R]
 
-        # Excitation (reference SLRCPlus.py:66-80)
+        # Excitation (reference SLRCPlus.py:66-80). TableEmbed (not raw
+        # params): required for --bf16_emb and the --sparse_emb_grad
+        # lookup context (ops/layers.embed docstring)
         global_alpha = self.param("global_alpha", nn.initializers.zeros, ())
-        alphas = global_alpha + self.param("alphas", NORMAL_INIT, (self.item_num, R))[i_ids]
-        pis = self.param("pis", NORMAL_INIT, (self.item_num, R))[i_ids] + 0.5
-        mus = self.param("mus", NORMAL_INIT, (self.item_num, R))[i_ids] + 1.0
-        betas = jnp.clip(self.param("betas", NORMAL_INIT, (self.item_num, R))[i_ids] + 1.0, 1e-10, 10.0)
-        sigmas = jnp.clip(self.param("sigmas", NORMAL_INIT, (self.item_num, R))[i_ids] + 1.0, 1e-10, 10.0)
+        alphas = global_alpha + embed(self.item_num, R, "alphas")(i_ids)
+        pis = embed(self.item_num, R, "pis")(i_ids) + 0.5
+        mus = embed(self.item_num, R, "mus")(i_ids) + 1.0
+        betas = jnp.clip(embed(self.item_num, R, "betas")(i_ids) + 1.0, 1e-10, 10.0)
+        sigmas = jnp.clip(embed(self.item_num, R, "sigmas")(i_ids) + 1.0, 1e-10, 10.0)
         mask = (r_intervals >= 0).astype(jnp.float32)
         delta_t = r_intervals * mask
         decay = pis * exp_pdf(delta_t, betas) + (1 - pis) * normal_pdf(delta_t, mus, sigmas)
         excitation = (alphas * decay * mask).sum(-1)  # [B, C]
 
         # Base intensity (MF + biases)
-        u_vec = self.param("u_embeddings", NORMAL_INIT, (self.user_num, self.emb_size))[u_ids]
-        i_vec = self.param("i_embeddings", NORMAL_INIT, (self.item_num, self.emb_size))[i_ids]
-        u_bias = self.param("user_bias", NORMAL_INIT, (self.user_num, 1))[u_ids]
-        i_bias = self.param("item_bias", NORMAL_INIT, (self.item_num, 1))[i_ids][..., 0]
+        u_vec = embed(self.user_num, self.emb_size, "u_embeddings")(u_ids)
+        i_vec = embed(self.item_num, self.emb_size, "i_embeddings")(i_ids)
+        u_bias = embed(self.user_num, 1, "user_bias")(u_ids)
+        i_bias = embed(self.item_num, 1, "item_bias")(i_ids)[..., 0]
         base_intensity = (u_vec[:, None, :] * i_vec).sum(-1) + u_bias + i_bias
         return {"prediction": base_intensity + excitation}

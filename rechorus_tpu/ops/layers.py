@@ -84,16 +84,19 @@ class StorageEmbed(TableEmbed):
     """Backwards-compatible alias (bf16 storage tables)."""
 
 
-def embed(num: int, dim: int, name: Optional[str] = None) -> nn.Embed:
+def embed(num: int, dim: int, name: Optional[str] = None, init=NORMAL_INIT) -> nn.Embed:
     """Embedding table; rows round up to the mesh row-pad quantum
     (parallel.mesh.set_table_row_pad) so 'model'-axis row-sharding always
-    divides. Ids are < num, so the dead tail rows are never gathered."""
+    divides. Ids are < num, so the dead tail rows are never gathered.
+    Every model-level table gather should go through this (TableEmbed):
+    raw `self.param(...)[ids]` gathers bypass the --bf16_emb storage cast
+    AND the --sparse_emb_grad lookup context (silent zero grads there)."""
     from rechorus_tpu.parallel.mesh import pad_rows
 
     if _TABLE_DTYPE is not None:
-        return StorageEmbed(pad_rows(num), dim, embedding_init=NORMAL_INIT,
+        return StorageEmbed(pad_rows(num), dim, embedding_init=init,
                             param_dtype=_TABLE_DTYPE, name=name)
-    return TableEmbed(pad_rows(num), dim, embedding_init=NORMAL_INIT, name=name)
+    return TableEmbed(pad_rows(num), dim, embedding_init=init, name=name)
 
 
 class MLPBlock(nn.Module):

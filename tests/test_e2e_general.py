@@ -120,10 +120,11 @@ def test_buir_target_follows_online():
     params = variables["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
     # simulate post_init copy
-    extra["target"] = {"user_target": params["user_online"], "item_target": params["item_online"]}
+    extra["target"] = {"user_target": params["user_online"]["embedding"],
+                       "item_target": params["item_online"]["embedding"]}
     new_params = jax.tree.map(lambda x: x + 1.0, params)
     updated = model.ema_update(new_params, extra)
-    expect = params["user_online"] * 0.9 + new_params["user_online"] * 0.1
+    expect = params["user_online"]["embedding"] * 0.9 + new_params["user_online"]["embedding"] * 0.1
     assert np.allclose(np.asarray(updated["target"]["user_target"]), np.asarray(expect), atol=1e-6)
 
 

@@ -22,17 +22,51 @@ import numpy as np
 import pandas as pd
 
 
+def _fast_parse_list_column(values) -> list:
+    """Vectorized parse of a '[1, 2, 3]'-style string column: one big
+    comma-join + np.fromstring instead of per-row ast.literal_eval
+    (~40x on 100k x 99 neg_items columns). Returns a list of np row
+    views into one [n, K] matrix when rows have uniform length, else
+    per-row arrays. Raises ValueError on anything np.fromstring can't
+    take (nested lists, strings) -- caller falls back to literal_eval."""
+    stripped = [s.strip()[1:-1] for s in values]
+    counts = np.fromiter((s.count(",") + 1 if s.strip() else 0 for s in stripped),
+                         dtype=np.int64, count=len(stripped))
+    joined = ",".join(s for s in stripped if s.strip())
+    dtype = np.float64 if ("." in joined or "e" in joined or "E" in joined) else np.int64
+    flat = np.fromstring(joined, dtype=dtype, sep=",") if joined else np.empty(0, dtype)
+    if flat.size != counts.sum():
+        raise ValueError("unparsed tokens in list column")
+    if len(counts) and (counts == counts[0]).all():
+        return list(flat.reshape(len(counts), -1))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return [flat[offsets[r]: offsets[r + 1]] for r in range(len(counts))]
+
+
 def eval_list_columns(df: pd.DataFrame) -> pd.DataFrame:
     """Parse list-valued string columns (e.g. neg_items) into np arrays.
 
     Parity: reference src/utils/utils.py:47-51 (which uses eval(); we use
-    ast.literal_eval -- same accepted grammar, no code execution).
+    a vectorized numeric parse with an ast.literal_eval fallback -- same
+    accepted grammar, no code execution).
     """
+    import warnings
+
     for col in df.columns:
         if pd.api.types.is_object_dtype(df[col]) or isinstance(df[col].dtype, pd.StringDtype):
             first = df[col].iloc[0] if len(df) else None
             if isinstance(first, str) and first.strip().startswith("["):
-                df[col] = df[col].apply(lambda x: np.array(ast.literal_eval(x)))
+                try:
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore", DeprecationWarning)
+                        parsed = _fast_parse_list_column(df[col].to_numpy())
+                    # assign via a pre-built object array: a bare list of
+                    # np rows makes pandas re-coerce element-wise (slow)
+                    holder = np.empty(len(parsed), dtype=object)
+                    holder[:] = parsed
+                    df[col] = holder
+                except (ValueError, TypeError):
+                    df[col] = df[col].apply(lambda x: np.array(ast.literal_eval(x)))
     return df
 
 
@@ -44,26 +78,45 @@ class BaseReader:
         parser.add_argument("--path", type=str, default="data/", help="Input data dir.")
         parser.add_argument("--dataset", type=str, default="Grocery_and_Gourmet_Food", help="Choose a dataset.")
         parser.add_argument("--sep", type=str, default="\t", help="sep of csv file.")
+        parser.add_argument("--csv_chunksize", type=int, default=0,
+                            help="Read split CSVs in chunks of this many rows "
+                                 "(0 = whole-file). Bounds the parse-time peak "
+                                 "RSS on corpora with hundreds of millions of "
+                                 "rows; the assembled corpus arrays are compact "
+                                 "numpy either way.")
         return parser
 
     def __init__(self, args):
         self.sep = args.sep
         self.prefix = args.path
         self.dataset = args.dataset
+        self.csv_chunksize = int(getattr(args, "csv_chunksize", 0) or 0)
         self._read_data()
+        self._build_clicked_sets()
 
-        self.train_clicked_set: Dict[int, set] = dict()
-        self.residual_clicked_set: Dict[int, set] = dict()
-        for key in ["train", "dev", "test"]:
-            df = self.data_df[key]
-            for uid, iid in zip(df["user_id"], df["item_id"]):
-                if uid not in self.train_clicked_set:
-                    self.train_clicked_set[uid] = set()
-                    self.residual_clicked_set[uid] = set()
-                if key == "train":
-                    self.train_clicked_set[uid].add(iid)
-                else:
-                    self.residual_clicked_set[uid].add(iid)
+    def _build_clicked_sets(self):
+        """CSR clicked sets (one vectorized unique per split group)
+        replacing the reference's dict-of-set build loop
+        (BaseReader.py:30-41). `train_clicked_set[u]` is the sorted
+        unique item-id array u clicked in train; `residual_clicked_set`
+        the same over dev+test."""
+        from rechorus_tpu.data.csr import CSRRows, pairs_to_csr
+
+        tr = self.data_df["train"]
+        flat, off = pairs_to_csr(tr["user_id"].to_numpy(), tr["item_id"].to_numpy(),
+                                 self.n_users, unique=True)
+        self.train_clicked_set = CSRRows(flat.astype(np.int32), off)
+        res_u = np.concatenate([self.data_df[k]["user_id"].to_numpy() for k in ("dev", "test")])
+        res_i = np.concatenate([self.data_df[k]["item_id"].to_numpy() for k in ("dev", "test")])
+        flat, off = pairs_to_csr(res_u, res_i, self.n_users, unique=True)
+        self.residual_clicked_set = CSRRows(flat.astype(np.int32), off)
+
+    def _read_csv(self, path: str) -> pd.DataFrame:
+        if not self.csv_chunksize:
+            return pd.read_csv(path, sep=self.sep)
+        chunks = [eval_list_columns(c) for c in
+                  pd.read_csv(path, sep=self.sep, chunksize=self.csv_chunksize)]
+        return pd.concat(chunks, ignore_index=True)
 
     def _read_data(self):
         logging.info('Reading data from "{}", dataset = "{}" '.format(self.prefix, self.dataset))
@@ -71,7 +124,7 @@ class BaseReader:
         for key in ["train", "dev", "test"]:
             path = os.path.join(self.prefix, self.dataset, key + ".csv")
             self.data_df[key] = (
-                pd.read_csv(path, sep=self.sep).reset_index(drop=True).sort_values(by=["user_id", "time"])
+                self._read_csv(path).reset_index(drop=True).sort_values(by=["user_id", "time"])
             )
             self.data_df[key] = eval_list_columns(self.data_df[key])
 
@@ -84,8 +137,9 @@ class BaseReader:
         self.n_items = int(self.all_df["item_id"].max()) + 1
         for key in ["dev", "test"]:
             if "neg_items" in self.data_df[key]:
-                neg_items = np.array(self.data_df[key]["neg_items"].tolist())
-                assert (neg_items >= self.n_items).sum() == 0, "negative items include unseen ids"
+                col = self.data_df[key]["neg_items"]
+                worst = max((int(np.max(a)) for a in col if np.size(a)), default=0)
+                assert worst < self.n_items, "negative items include unseen ids"
         logging.info(
             '"# user": {}, "# item": {}, "# entry": {}'.format(self.n_users - 1, self.n_items - 1, len(self.all_df))
         )
@@ -98,13 +152,25 @@ class BaseReader:
     # ---------------- TPU-first fixed-shape corpus arrays ----------------
 
     def _history_views(self):
+        from rechorus_tpu.data.csr import CSRRows
+
+        if isinstance(self.user_his, CSRRows):
+            return self.user_his  # rows are already [L, 2] int64 views
         if not hasattr(self, "_his_np"):
             self._his_np = {u: np.asarray(h, dtype=np.int64) for u, h in self.user_his.items()}
         return self._his_np
 
     def _history_flat(self):
         """CSR-style flattened per-user histories for the native kernel."""
+        from rechorus_tpu.data.csr import CSRRows
+
         if not hasattr(self, "_his_flat"):
+            if isinstance(self.user_his, CSRRows):
+                f, offsets = self.user_his.flat, self.user_his.offsets
+                self._his_flat = (np.ascontiguousarray(f[:, 0]),
+                                  np.ascontiguousarray(f[:, 1]),
+                                  np.asarray(offsets, dtype=np.int64))
+                return self._his_flat
             offsets = np.zeros(self.n_users + 1, dtype=np.int64)
             for u in range(self.n_users):
                 offsets[u + 1] = offsets[u] + len(self.user_his.get(u, ()))
@@ -159,29 +225,37 @@ class BaseReader:
         reference's python-set membership loops (BaseModel.py:206-214,
         BaseRunner.py:244-251).
         """
-        sets = []
-        for u in range(self.n_users):
-            s = set(self.train_clicked_set.get(u, ()))
-            if include_residual:
-                s = s | set(self.residual_clicked_set.get(u, ()))
-            sets.append(s)
-        max_len = max(1, max(len(s) for s in sets))
+        from rechorus_tpu.data.csr import CSRRows, csr_fill_matrix, pairs_to_csr
+
+        def _as_csr(mapping) -> CSRRows:
+            if isinstance(mapping, CSRRows):
+                return mapping
+            # dict-of-set subclasses (e.g. ImpressionContextReader's
+            # label-aware rebuild) and pre-CSR corpus pickles
+            users = np.fromiter((u for u, s in mapping.items() for _ in s), np.int64)
+            items = np.fromiter((i for s in mapping.values() for i in s), np.int64)
+            flat, off = pairs_to_csr(users, items, self.n_users, unique=True)
+            return CSRRows(flat.astype(np.int32), off)
+
+        train = _as_csr(self.train_clicked_set)
+        if include_residual:
+            res = _as_csr(self.residual_clicked_set)
+            users = np.concatenate([
+                np.repeat(np.arange(self.n_users), np.diff(train.offsets)),
+                np.repeat(np.arange(self.n_users), np.diff(res.offsets)),
+            ])
+            flat, offsets = pairs_to_csr(users, np.concatenate([train.flat, res.flat]),
+                                         self.n_users, unique=True)
+        else:
+            flat, offsets = train.flat, train.offsets
+        max_len = max(1, int(np.diff(offsets).max()))
         from rechorus_tpu import native
 
         if native.available():
-            offsets = np.zeros(self.n_users + 1, dtype=np.int64)
-            for u, s in enumerate(sets):
-                offsets[u + 1] = offsets[u] + len(s)
-            flat = np.zeros(int(offsets[-1]), dtype=np.int64)
-            for u, s in enumerate(sets):
-                if s:
-                    flat[offsets[u]: offsets[u + 1]] = sorted(s)
-            return native.fill_clicked_matrix(flat, offsets, self.n_users, max_len)
-        mat = np.zeros((self.n_users, max_len), dtype=np.int32)
-        for u, s in enumerate(sets):
-            if s:
-                mat[u, : len(s)] = sorted(s)
-        return mat
+            return native.fill_clicked_matrix(np.asarray(flat, dtype=np.int64),
+                                              np.asarray(offsets, dtype=np.int64),
+                                              self.n_users, max_len)
+        return csr_fill_matrix(flat, offsets, max_len)
 
 
 class ContextReader(BaseReader):
@@ -267,21 +341,42 @@ class SeqReader(BaseReader):
         self._append_his_info()
 
     def _append_his_info(self):
+        """Vectorized global-time history build (one lexsort + one stable
+        argsort; no python loop, no merge). Semantics match the reference
+        (SeqReader.py:20-32): rows sorted by (time, user) stably, each
+        row's `position` = number of that user's earlier rows, user_his
+        in time order. Documented deviation: positions are assigned by
+        row identity (all_df row r IS split row r), not merged back on
+        (user,item,time) -- identical output for unique keys, but the
+        reference's merge duplicates rows when a user has two
+        interactions with the same item at the same timestamp."""
         logging.info("Appending history info...")
-        sort_df = self.all_df.sort_values(by=["time", "user_id"], kind="mergesort")
-        position = list()
-        self.user_his: Dict[int, list] = dict()
-        for uid, iid, t in zip(sort_df["user_id"], sort_df["item_id"], sort_df["time"]):
-            if uid not in self.user_his:
-                self.user_his[uid] = list()
-            position.append(len(self.user_his[uid]))
-            self.user_his[uid].append((iid, t))
-        sort_df = sort_df.copy()
-        sort_df["position"] = position
+        from rechorus_tpu.data.csr import CSRRows
+
+        u = self.all_df["user_id"].to_numpy(np.int64)
+        i = self.all_df["item_id"].to_numpy(np.int64)
+        t = self.all_df["time"].to_numpy(np.int64)
+        n = len(u)
+        order = np.lexsort((u, t))  # stable: primary time, secondary user
+        us = u[order]
+        sidx = np.argsort(us, kind="stable")  # group by user, keep time order
+        counts = np.bincount(us, minlength=self.n_users)
+        starts = np.zeros(self.n_users, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        grp_pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        pos_sorted = np.empty(n, dtype=np.int64)
+        pos_sorted[sidx] = grp_pos
+        position_all = np.empty(n, dtype=np.int64)
+        position_all[order] = pos_sorted
+        his_order = order[sidx]
+        offsets = np.zeros(self.n_users + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        self.user_his = CSRRows(np.stack([i[his_order], t[his_order]], axis=1), offsets)
+        lo = 0
         for key in ["train", "dev", "test"]:
-            self.data_df[key] = pd.merge(
-                left=self.data_df[key], right=sort_df, how="left", on=["user_id", "item_id", "time"]
-            )
+            L = len(self.data_df[key])
+            self.data_df[key]["position"] = position_all[lo: lo + L]
+            lo += L
 
 
 class ContextSeqReader(ContextReader):
@@ -296,49 +391,72 @@ class ContextSeqReader(ContextReader):
         self._append_his_info()
 
     def _append_his_info(self):
+        """Vectorized twin of SeqReader._append_his_info that also builds
+        the per-step situation-context history (`user_his_situ`, CSR
+        [T, F]). Parity: reference ContextSeqReader.py:18-43; same
+        documented deviation on duplicate (user,item,time) keys as
+        SeqReader."""
         logging.info("Appending history info with situation context...")
+        from rechorus_tpu.data.csr import CSRRows
+
         situ = list(self.situation_feature_names)
-        frames = []
+        u = self.all_df["user_id"].to_numpy(np.int64)
+        i = self.all_df["item_id"].to_numpy(np.int64)
+        t = self.all_df["time"].to_numpy(np.int64)
+        # reindex tolerates splits missing some c_* columns (pad 0 there,
+        # where the reference's concat+merge produced NaN)
+        situ_vals = (np.concatenate([
+            self.data_df[k].reindex(columns=situ, fill_value=0).to_numpy(np.int64)
+            for k in ("train", "dev", "test")])
+            if situ else np.zeros((len(u), 0), dtype=np.int64))
+        n = len(u)
+        order = np.lexsort((u, t))
+        us = u[order]
+        sidx = np.argsort(us, kind="stable")
+        counts = np.bincount(us, minlength=self.n_users)
+        starts = np.zeros(self.n_users, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        grp_pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        pos_sorted = np.empty(n, dtype=np.int64)
+        pos_sorted[sidx] = grp_pos
+        position_all = np.empty(n, dtype=np.int64)
+        position_all[order] = pos_sorted
+        his_order = order[sidx]
+        offsets = np.zeros(self.n_users + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        self.user_his = CSRRows(np.stack([i[his_order], t[his_order]], axis=1), offsets)
+        self.user_his_situ = CSRRows(situ_vals[his_order], offsets)
+        lo = 0
         for key in ["train", "dev", "test"]:
-            cols = ["user_id", "item_id", "time"] + [c for c in situ if c in self.data_df[key].columns]
-            frames.append(self.data_df[key][cols])
-        all_df = pd.concat(frames)
-        sort_df = all_df.sort_values(by=["time", "user_id"], kind="mergesort")
-        position = list()
-        self.user_his = dict()
-        self.user_his_situ = dict()
-        situ_vals = sort_df[situ].to_numpy() if situ else np.zeros((len(sort_df), 0))
-        for k, (uid, iid, t) in enumerate(zip(sort_df["user_id"], sort_df["item_id"], sort_df["time"])):
-            if uid not in self.user_his:
-                self.user_his[uid] = list()
-                self.user_his_situ[uid] = list()
-            position.append(len(self.user_his[uid]))
-            self.user_his[uid].append((iid, t))
-            self.user_his_situ[uid].append(situ_vals[k])
-        sort_df = sort_df.copy()
-        sort_df["position"] = position
-        merge_cols = ["user_id", "item_id", "time"]
-        for key in ["train", "dev", "test"]:
-            self.data_df[key] = pd.merge(
-                left=self.data_df[key], right=sort_df[merge_cols + ["position"]],
-                how="left", on=merge_cols,
-            )
+            L = len(self.data_df[key])
+            self.data_df[key]["position"] = position_all[lo: lo + L]
+            lo += L
 
     def history_situ_arrays(self, df: pd.DataFrame, history_max: int) -> np.ndarray:
-        """[n_rows, history_max, n_situ_features] per-step situation context."""
+        """[n_rows, history_max, n_situ_features] per-step situation
+        context, gathered in one fancy-index pass over the CSR."""
+        from rechorus_tpu.data.csr import CSRRows
+
         n = len(df)
         F = len(self.situation_feature_names)
-        out = np.zeros((n, history_max, F), dtype=np.int64)
-        users = df["user_id"].to_numpy()
-        positions = df["position"].to_numpy()
-        situ_np = {u: np.asarray(v) for u, v in self.user_his_situ.items()}
-        for r in range(n):
-            u, p = users[r], int(positions[r])
-            if p <= 0:
-                continue
-            h = situ_np[u][max(0, p - history_max) : p]
-            out[r, : len(h)] = h
-        return out
+        users = df["user_id"].to_numpy(np.int64)
+        positions = df["position"].to_numpy(np.int64)
+        if not isinstance(self.user_his_situ, CSRRows):  # pre-CSR pickle
+            out = np.zeros((n, history_max, F), dtype=np.int64)
+            situ_np = {u: np.asarray(v) for u, v in self.user_his_situ.items()}
+            for r in range(n):
+                u, p = users[r], int(positions[r])
+                if p > 0:
+                    h = situ_np[u][max(0, p - history_max): p]
+                    out[r, : len(h)] = h
+            return out
+        flat, offsets = self.user_his_situ.flat, self.user_his_situ.offsets
+        start = np.maximum(0, positions - history_max)
+        lengths = positions - start  # rows with position <= 0 get length <= 0
+        idx = offsets[users, None] + start[:, None] + np.arange(history_max)[None, :]
+        valid = np.arange(history_max)[None, :] < lengths[:, None]
+        gathered = flat[np.clip(idx, 0, max(len(flat) - 1, 0))]
+        return np.where(valid[..., None], gathered, 0).astype(np.int64)
 
 
 class ImpressionReader(BaseReader):
@@ -370,7 +488,7 @@ class ImpressionReader(BaseReader):
         for key in ["train", "dev", "test"]:
             path = os.path.join(self.prefix, self.dataset, key + ".csv")
             self.data_df[key] = (
-                pd.read_csv(path, sep=self.sep).reset_index(drop=True)
+                self._read_csv(path).reset_index(drop=True)
                 .sort_values(by=["user_id", self.impression_idkey], kind="mergesort")
             )
             self.data_df[key] = eval_list_columns(self.data_df[key])
@@ -389,40 +507,50 @@ class ImpressionReader(BaseReader):
         )
 
     def _append_impression_info(self):
+        """Vectorized request grouping: consecutive (user, idkey) rows
+        form one request; its sorted-unique pos (label!=0) / neg item
+        sets attach to the group's LAST row; requests missing either side
+        are dropped. One unique pass per split instead of a per-row
+        python loop (reference ImpressionReader.py semantics; id-0
+        filtering deviation documented in the class docstring)."""
         logging.info("Merging positive items by timestamp/impression_idkey...")
+        from rechorus_tpu.data.csr import pairs_to_csr
+
         for key in ["train", "dev", "test"]:
             df = self.data_df[key]
-            group_change = (df["user_id"].ne(df["user_id"].shift(1))
-                            | df[self.impression_idkey].ne(df[self.impression_idkey].shift(1)))
-            group_id = group_change.cumsum()
-            pos_col, neg_col, keep = [], [], []
-            items = df["item_id"].to_numpy()
-            labels = df["label"].to_numpy()
-            gids = group_id.to_numpy()
             n = len(df)
-            i = 0
-            while i < n:
-                j = i
-                pos, neg = [], []
-                while j < n and gids[j] == gids[i]:
-                    (pos if labels[j] else neg).append(int(items[j]))
-                    j += 1
-                pos = sorted(set(p for p in pos if p != 0))
-                neg = sorted(set(x for x in neg if x != 0))
-                for r in range(i, j - 1):
-                    pos_col.append([])
-                    neg_col.append([])
-                    keep.append(False)
-                pos_col.append(pos)
-                neg_col.append(neg)
-                keep.append(len(pos) > 0 and len(neg) > 0)
-                i = j
-            df = df.copy()
-            df["pos_items"] = pos_col
-            df["neg_items"] = neg_col
-            df["pos_num"] = [len(p) for p in pos_col]
-            df["neg_num"] = [len(x) for x in neg_col]
-            self.data_df[key] = df[np.array(keep)].reset_index(drop=True)
+            if n == 0:
+                df = df.copy()
+                df["pos_items"], df["neg_items"] = [], []
+                df["pos_num"], df["neg_num"] = [], []
+                self.data_df[key] = df
+                continue
+            uid = df["user_id"].to_numpy()
+            idk = df[self.impression_idkey].to_numpy()
+            change = np.ones(n, dtype=bool)
+            change[1:] = (uid[1:] != uid[:-1]) | (idk[1:] != idk[:-1])
+            gid = np.cumsum(change) - 1
+            n_groups = int(gid[-1]) + 1
+            last = np.nonzero(np.concatenate([change[1:], [True]]))[0]
+            items = df["item_id"].to_numpy(np.int64)
+            labels = df["label"].to_numpy()
+            nz = items != 0
+            pos_flat, pos_off = pairs_to_csr(gid[nz & (labels != 0)],
+                                             items[nz & (labels != 0)],
+                                             n_groups, unique=True)
+            neg_flat, neg_off = pairs_to_csr(gid[nz & (labels == 0)],
+                                             items[nz & (labels == 0)],
+                                             n_groups, unique=True)
+            pos_num, neg_num = np.diff(pos_off), np.diff(neg_off)
+            keep_g = np.nonzero((pos_num > 0) & (neg_num > 0))[0]
+            out = df.iloc[last[keep_g]].copy().reset_index(drop=True)
+            pos_lists = np.split(pos_flat, pos_off[1:-1])
+            neg_lists = np.split(neg_flat, neg_off[1:-1])
+            out["pos_items"] = [pos_lists[g] for g in keep_g]
+            out["neg_items"] = [neg_lists[g] for g in keep_g]
+            out["pos_num"] = pos_num[keep_g]
+            out["neg_num"] = neg_num[keep_g]
+            self.data_df[key] = out
         logging.info(
             "train, dev, test request num: %d %d %d"
             % tuple(len(self.data_df[k]) for k in ["train", "dev", "test"])
@@ -439,56 +567,92 @@ class ImpressionSeqReader(ImpressionReader):
         self._append_his_info()
 
     def _append_his_info(self):
+        """Vectorized dual-history build: requests sorted per user by
+        (idkey,) time; `position`/`neg_position` = exclusive cumsum of
+        the user's earlier pos/neg set sizes; pos/neg item-time pairs
+        become per-user CSR blocks. Positions are assigned by row
+        identity -- equivalent to the reference's merge on
+        (user, idkey) because request keys are unique after grouping
+        (reference ImpressionSeqReader.py:18-56)."""
         logging.info("Appending history info with corresponding impressions...")
-        frames = []
-        for key in ["train", "dev", "test"]:
-            d = self.data_df[key][["user_id", "pos_items", "neg_items", "time", self.impression_idkey]].copy() \
-                if self.impression_idkey != "time" else \
-                self.data_df[key][["user_id", "pos_items", "neg_items", "time"]].copy()
-            frames.append(d)
-        sort_cols = ["user_id", "time"] if self.impression_idkey == "time" else \
-            ["user_id", self.impression_idkey, "time"]
-        sort_df = pd.concat(frames).sort_values(by=sort_cols, kind="mergesort")
-        position, neg_position = [], []
-        self.user_his = dict()
-        for uid, pids, nids, t in zip(sort_df["user_id"], sort_df["pos_items"], sort_df["neg_items"], sort_df["time"]):
-            if uid not in self.user_his:
-                self.user_his[uid] = {"pos": [], "neg": []}
-            position.append(len(self.user_his[uid]["pos"]))
-            neg_position.append(len(self.user_his[uid]["neg"]))
-            for pid in pids:
-                self.user_his[uid]["pos"].append((pid, t))
-            for nid in nids:
-                self.user_his[uid]["neg"].append((nid, t))
-        sort_df = sort_df.copy()
-        sort_df["position"] = position
-        sort_df["neg_position"] = neg_position
-        merge_on = ["user_id", self.impression_idkey]
-        for key in ["train", "dev", "test"]:
-            self.data_df[key] = pd.merge(
-                left=self.data_df[key],
-                right=sort_df.drop(columns=["pos_items", "neg_items"]
-                                   + (["time"] if self.impression_idkey != "time" else [])),
-                how="left", on=merge_on,
-            )
+        from rechorus_tpu.data.csr import CSRRows, DualCSRRows
+
+        keys = ["train", "dev", "test"]
+        u = np.concatenate([self.data_df[k]["user_id"].to_numpy(np.int64) for k in keys])
+        t = np.concatenate([self.data_df[k]["time"].to_numpy(np.int64) for k in keys])
+        if self.impression_idkey != "time":
+            idk = np.concatenate([self.data_df[k][self.impression_idkey].to_numpy()
+                                  for k in keys])
+            order = np.lexsort((t, idk, u))
+        else:
+            order = np.lexsort((t, u))
+        n = len(u)
+        us = u[order]
+        offsets_req = np.zeros(self.n_users + 1, dtype=np.int64)
+        np.cumsum(np.bincount(us, minlength=self.n_users), out=offsets_req[1:])
+
+        cols = {}
+        for tag, items_col, pos_col in [("pos", "pos_items", "position"),
+                                        ("neg", "neg_items", "neg_position")]:
+            lists = []
+            for k in keys:
+                lists.extend(self.data_df[k][items_col].to_list())
+            cnt = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+            cs = cnt[order]
+            excl = np.cumsum(cs) - cs  # global exclusive cumsum over sorted requests
+            base = excl[offsets_req[:-1].clip(max=max(n - 1, 0))]  # user-group starts
+            position_sorted = excl - np.repeat(base, np.diff(offsets_req))
+            position = np.empty(n, dtype=np.int64)
+            position[order] = position_sorted
+            cols[pos_col] = position
+            flat_items = (np.concatenate([np.asarray(lists[r], dtype=np.int64)
+                                          for r in order])
+                          if int(cnt.sum()) else np.empty(0, np.int64))
+            flat_times = np.repeat(t[order], cs)
+            his_off = np.zeros(self.n_users + 1, dtype=np.int64)
+            np.cumsum(np.bincount(us, weights=cs, minlength=self.n_users).astype(np.int64),
+                      out=his_off[1:])
+            cols[tag] = CSRRows(np.stack([flat_items, flat_times], axis=1), his_off)
+        self.user_his = DualCSRRows(cols["pos"], cols["neg"])
+        lo = 0
+        for key in keys:
+            L = len(self.data_df[key])
+            self.data_df[key]["position"] = cols["position"][lo: lo + L]
+            self.data_df[key]["neg_position"] = cols["neg_position"][lo: lo + L]
+            lo += L
 
     def dual_history_arrays(self, df: pd.DataFrame, history_max: int):
         """Fixed-shape pos/neg histories: returns (his, his_t, len,
-        neg_his, neg_his_t, neg_len)."""
+        neg_his, neg_his_t, neg_len). CSR-native: reuses the C++ history
+        kernel (native/corpus_ops.cpp) per tag when available."""
+        from rechorus_tpu import native
+        from rechorus_tpu.data.csr import DualCSRRows
+
         n = len(df)
         out = {}
         for tag, pos_col in [("pos", "position"), ("neg", "neg_position")]:
+            users = df["user_id"].to_numpy()
+            positions = df[pos_col].to_numpy()
+            if isinstance(self.user_his, DualCSRRows):
+                csr = getattr(self.user_his, tag)
+                flat, offsets = csr.flat, np.asarray(csr.offsets, dtype=np.int64)
+                if native.available():
+                    out[tag] = native.build_history_arrays(
+                        users, positions, np.ascontiguousarray(flat[:, 0]),
+                        np.ascontiguousarray(flat[:, 1]), offsets, history_max)
+                    continue
+                his_np = csr
+            else:  # pre-CSR corpus pickle
+                his_np = {uu: np.asarray(h[tag], dtype=np.int64).reshape(-1, 2)
+                          for uu, h in self.user_his.items()}
             his = np.zeros((n, history_max), dtype=np.int32)
             his_t = np.zeros((n, history_max), dtype=np.int64)
             lens = np.zeros((n,), dtype=np.int32)
-            his_np = {u: np.asarray(h[tag], dtype=np.int64).reshape(-1, 2) for u, h in self.user_his.items()}
-            users = df["user_id"].to_numpy()
-            positions = df[pos_col].to_numpy()
             for r in range(n):
-                u, p = users[r], int(positions[r])
+                uu, p = users[r], int(positions[r])
                 if p <= 0:
                     continue
-                h = his_np[u][max(0, p - history_max): p]
+                h = his_np[uu][max(0, p - history_max): p]
                 L = len(h)
                 his[r, :L] = h[:, 0]
                 his_t[r, :L] = h[:, 1]
@@ -753,19 +917,9 @@ class ImpressionContextReader(ImpressionReader, ContextReader):
         self.sep = args.sep
         self.prefix = args.path
         self.dataset = args.dataset
+        self.csv_chunksize = int(getattr(args, "csv_chunksize", 0) or 0)
         self._read_data()
-        self.train_clicked_set = {}
-        self.residual_clicked_set = {}
-        for key in ["train", "dev", "test"]:
-            df = self.data_df[key]
-            for uid, iid in zip(df["user_id"], df["item_id"]):
-                if uid not in self.train_clicked_set:
-                    self.train_clicked_set[uid] = set()
-                    self.residual_clicked_set[uid] = set()
-                if key == "train":
-                    self.train_clicked_set[uid].add(iid)
-                else:
-                    self.residual_clicked_set[uid].add(iid)
+        self._build_clicked_sets()
         self.include_item_features = args.include_item_features
         self.include_user_features = args.include_user_features
         self.include_situation_features = args.include_context_features

@@ -62,9 +62,12 @@ def main():
 
     n_epochs = 5
     t0 = time.perf_counter()
+    acc = 0.0
     for e in range(1, n_epochs + 1):
         state, loss = runner.fit(state, model, batcher, arrays, e, rng)
-    jax.block_until_ready(state.params)
+        # materialize a scalar that depends on the epoch's compute:
+        # block_until_ready alone under-reports through the TPU tunnel
+        acc += float(np.asarray(loss))
     dt = (time.perf_counter() - t0) / n_epochs
 
     print(json.dumps({

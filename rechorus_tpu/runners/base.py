@@ -133,6 +133,13 @@ class BaseRunner:
                             help="Devices on the 'data' mesh axis (batch sharding).")
         parser.add_argument("--model_parallel", type=int, default=1,
                             help="Devices on the 'model' mesh axis (embedding-table row sharding).")
+        parser.add_argument("--shard_input_mb", type=int, default=16,
+                            help="On a mesh, corpus input arrays at least this "
+                                 "many MB shard their leading axis over 'data' "
+                                 "instead of replicating (cuts per-chip HBM for "
+                                 "large history/feature banks; GSPMD turns the "
+                                 "id-gather into local-gather + an O(batch x "
+                                 "width) all-reduce). -1 replicates everything.")
         return parser
 
     def __init__(self, args):
@@ -168,6 +175,7 @@ class BaseRunner:
                 from rechorus_tpu.ops.layers import set_table_dtype
 
                 set_table_dtype(jnp.bfloat16)  # process-global, like row pad
+        self.shard_input_mb = int(getattr(args, "shard_input_mb", 16))
         self.approx_topk = bool(getattr(args, "approx_topk", 0))
         self.approx_topk_recall = float(getattr(args, "approx_topk_recall", 0.98))
         self.time = None
@@ -500,15 +508,40 @@ class BaseRunner:
         return global_put(idx_mat, replicated(self.mesh))
 
     def place_arrays(self, arrays: dict) -> dict:
-        """Replicate corpus-derived device arrays over the mesh (no-op
-        single-device)."""
+        """Place corpus-derived device arrays on the mesh (no-op
+        single-device). Arrays >= --shard_input_mb shard their leading
+        axis over 'data' (zero-padded to divide; pad rows are never
+        gathered because every consumer indexes by a valid id/row);
+        everything else replicates. Feeds built by id-gather from a
+        sharded array come back 'data'-sharded via GSPMD's masked
+        local-gather + all-reduce, so activations stay data-parallel."""
         if self.mesh is None:
             return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from rechorus_tpu.parallel.mesh import global_put, replicated
 
         rep = replicated(self.mesh)
-        return {k: global_put(v, rep) if hasattr(v, "shape") else v
-                for k, v in arrays.items()}
+        dp = self.mesh.shape.get("data", 1)
+        out = {}
+        for k, v in arrays.items():
+            if not hasattr(v, "shape"):
+                out[k] = v
+                continue
+            big = (self.shard_input_mb >= 0 and dp > 1 and v.ndim >= 1
+                   and v.nbytes >= self.shard_input_mb * 2 ** 20)
+            if big:
+                v = np.asarray(v)
+                tail = (-v.shape[0]) % dp
+                if tail:
+                    v = np.concatenate(
+                        [v, np.zeros((tail,) + v.shape[1:], v.dtype)])
+                spec = P("data", *([None] * (v.ndim - 1)))
+                logging.info("sharding input array %r %s over 'data'", k, v.shape)
+                out[k] = global_put(v, NamedSharding(self.mesh, spec))
+            else:
+                out[k] = global_put(v, rep)
+        return out
 
     def fit(self, state: TrainState, model, batcher, arrays, epoch: int, rng_key) -> tuple:
         epoch_key = jax.random.fold_in(rng_key, epoch)

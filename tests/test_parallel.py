@@ -137,3 +137,59 @@ def test_sharded_tiled_branch_matches_dense(mesh, monkeypatch):
     if diff.any():  # ties only
         np.testing.assert_allclose(np.asarray(want_v)[diff], np.asarray(got_v)[diff], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(want_r), np.asarray(got_r))
+
+
+def test_sharded_input_arrays_match_replicated(tmp_path):
+    """--shard_input_mb: corpus arrays row-sharded over 'data' must train
+    and evaluate to (near) identical results as fully replicated inputs.
+    GSPMD turns the id-gathers into masked local-gather + all-reduce, so
+    the math is the same; this guards the padding and placement logic."""
+    import argparse
+
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.data.synthetic import make_topk_dataset
+    from rechorus_tpu.parallel import mesh as M
+
+    make_topk_dataset(str(tmp_path / "Synth"), n_users=48, n_items=500,
+                      n_per_user=8, n_neg=9)
+
+    def run(shard_mb):
+        args = argparse.Namespace(
+            path=str(tmp_path), dataset="Synth", sep="\t",
+            epoch=1, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-2, l2=1e-6,
+            batch_size=32, eval_batch_size=16, optimizer="Adam", num_workers=0,
+            pin_memory=0, topk="5", metric="NDCG,HR", main_metric="",
+            model_path="", random_seed=0, num_neg=2, dropout=0.0, test_all=0,
+            emb_size=16, history_max=6, buffer=1, num_layers=1, num_heads=2,
+            data_parallel=4, model_parallel=2, shard_input_mb=shard_mb,
+        )
+        corpus = registry.get_reader("SeqReader")(args)
+        model_cls = registry.get_model("SASRec")
+        model = model_cls.from_args(args, corpus)
+        runner = registry.get_runner(model_cls.runner)(args)
+        batchers = {p: get_batcher(model_cls.batcher)(corpus, model, p, args)
+                    for p in ["train", "dev"]}
+        arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
+        if shard_mb == 0:
+            sharded = [k for k, v in arrays["train"].items()
+                       if hasattr(v, "sharding") and not v.sharding.is_fully_replicated]
+            assert sharded, "no input array actually sharded at threshold 0"
+        state = runner.init_state(model, batchers["train"], 0)
+        for e in range(1, 3):
+            state, loss = runner.fit(state, model, batchers["train"], arrays["train"],
+                                     e, jax.random.key(0))
+        res = runner.evaluate(state, model, batchers["dev"], arrays["dev"],
+                              "dev", [5], ["HR", "NDCG"])
+        return loss, res
+
+    try:
+        loss_rep, res_rep = run(-1)
+        loss_sh, res_sh = run(0)
+    finally:
+        M.set_table_row_pad(1)
+    assert np.isfinite(loss_sh)
+    np.testing.assert_allclose(loss_sh, loss_rep, rtol=1e-4)
+    for k in res_rep:
+        np.testing.assert_allclose(res_sh[k], res_rep[k], atol=1e-6,
+                                   err_msg=f"{k}: {res_sh} vs {res_rep}")

@@ -38,6 +38,40 @@ def get_batcher(name: str):
     return BATCHER_REGISTRY[name]
 
 
+class LazyRows:
+    """Deferred per-row array: `build(lo, hi)` materializes rows
+    [lo, hi). Under `--host_shard_input`, heavy corpus arrays (history
+    banks etc.) stay in this form until BaseRunner.place_arrays, which
+    builds only each host's addressable 'data'-shard blocks -- corpus
+    host RAM then scales 1/num_hosts (single-device/replicated placement
+    just builds the whole range)."""
+
+    __slots__ = ("shape", "dtype", "build")
+
+    def __init__(self, shape, dtype, build):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.build = build
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.shape)) * self.dtype.itemsize
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def materialize(self, lo: int = 0, hi: int | None = None) -> np.ndarray:
+        hi = self.shape[0] if hi is None else hi
+        n = self.shape[0]
+        real_hi = min(hi, n)
+        out = np.asarray(self.build(lo, real_hi), dtype=self.dtype)
+        if hi > real_hi:  # rows past the logical end (divisibility padding)
+            out = np.concatenate(
+                [out, np.zeros((hi - real_hi,) + self.shape[1:], self.dtype)])
+        return out
+
+
 class Batcher:
     """Base: one instance per (corpus, phase)."""
 
@@ -48,6 +82,7 @@ class Batcher:
         self.args = args
         self.arrays: Dict[str, np.ndarray] = {}
         self.n = 0
+        self.host_shard_input = bool(int(getattr(args, "host_shard_input", 0) or 0))
         self.build()
 
     def __len__(self):
@@ -57,7 +92,10 @@ class Batcher:
         raise NotImplementedError
 
     def device_arrays(self) -> Dict[str, jnp.ndarray]:
-        return {k: jnp.asarray(v) for k, v in self.arrays.items()}
+        """LazyRows entries pass through unmaterialized; the runner's
+        place_arrays resolves them (per-shard on a mesh)."""
+        return {k: v if isinstance(v, LazyRows) else jnp.asarray(v)
+                for k, v in self.arrays.items()}
 
     # jittable -------------------------------------------------------------
     def train_feed(self, arrays, idx, key):
@@ -261,10 +299,30 @@ class SequentialBatcher(GeneralBatcher):
         self.arrays["user_id"] = df["user_id"].to_numpy().astype(np.int32)
         self.arrays["target_item"] = df["item_id"].to_numpy().astype(np.int32)
         H = self.model.history_max
-        his_items, his_times, lengths = self.corpus.history_arrays(df, H)
-        self.arrays["history_items"] = his_items
-        self.arrays["history_times"] = his_times
-        self.arrays["lengths"] = lengths
+        if self.host_shard_input:
+            # deferred: each host builds only its addressable row blocks
+            # (BaseRunner.place_arrays); the C++ history kernel takes any
+            # row slice, so a range build costs exactly its share
+            cache = {}
+
+            def triple(lo, hi):
+                # one entry per local shard range (the three keys request
+                # the same ranges, so each range builds once)
+                if (lo, hi) not in cache:
+                    cache[(lo, hi)] = self.corpus.history_arrays(df.iloc[lo:hi], H)
+                return cache[(lo, hi)]
+
+            self.arrays["history_items"] = LazyRows(
+                (self.n, H), np.int32, lambda lo, hi: triple(lo, hi)[0])
+            self.arrays["history_times"] = LazyRows(
+                (self.n, H), np.int64, lambda lo, hi: triple(lo, hi)[1])
+            self.arrays["lengths"] = LazyRows(
+                (self.n,), np.int32, lambda lo, hi: triple(lo, hi)[2])
+        else:
+            his_items, his_times, lengths = self.corpus.history_arrays(df, H)
+            self.arrays["history_items"] = his_items
+            self.arrays["history_times"] = his_times
+            self.arrays["lengths"] = lengths
         self.test_all = bool(getattr(self.model, "test_all", 0)) and self.phase != "train"
         if self.phase == "train":
             self.arrays["_clicked"] = self.corpus.clicked_matrix(include_residual=False)

@@ -140,6 +140,13 @@ class BaseRunner:
                                  "large history/feature banks; GSPMD turns the "
                                  "id-gather into local-gather + an O(batch x "
                                  "width) all-reduce). -1 replicates everything.")
+        parser.add_argument("--host_shard_input", type=int, default=0,
+                            help="Defer heavy per-row corpus arrays (history "
+                                 "banks) to per-shard builders: each host "
+                                 "materializes only its addressable 'data' row "
+                                 "blocks, so corpus host RAM scales 1/num_hosts "
+                                 "in multi-host runs. Implies the arrays shard "
+                                 "over 'data' regardless of --shard_input_mb.")
         return parser
 
     def __init__(self, args):
@@ -207,7 +214,13 @@ class BaseRunner:
     # ------------------------------------------------------------------ #
     # state & checkpointing
     def init_state(self, model, batcher, seed: int) -> TrainState:
+        from rechorus_tpu.data.batching import LazyRows
+
         arrays = batcher.device_arrays()
+        # shape-inference init only reads the first <=2 rows; deferred
+        # arrays materialize just that prefix
+        arrays = {k: jnp.asarray(v.materialize(0, min(2, len(batcher))))
+                  if isinstance(v, LazyRows) else v for k, v in arrays.items()}
         idx = jnp.arange(min(2, len(batcher)), dtype=jnp.int32)
         key = jax.random.key(seed)
         # init through the TRAIN trace so train-only submodules (e.g.
@@ -515,8 +528,11 @@ class BaseRunner:
         everything else replicates. Feeds built by id-gather from a
         sharded array come back 'data'-sharded via GSPMD's masked
         local-gather + all-reduce, so activations stay data-parallel."""
+        from rechorus_tpu.data.batching import LazyRows
+
         if self.mesh is None:
-            return arrays
+            return {k: jnp.asarray(v.materialize()) if isinstance(v, LazyRows) else v
+                    for k, v in arrays.items()}
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from rechorus_tpu.parallel.mesh import global_put, replicated
@@ -525,6 +541,9 @@ class BaseRunner:
         dp = self.mesh.shape.get("data", 1)
         out = {}
         for k, v in arrays.items():
+            if isinstance(v, LazyRows):
+                out[k] = self._place_lazy_rows(k, v, dp)
+                continue
             if not hasattr(v, "shape"):
                 out[k] = v
                 continue
@@ -542,6 +561,31 @@ class BaseRunner:
             else:
                 out[k] = global_put(v, rep)
         return out
+
+    def _place_lazy_rows(self, name: str, lazy: "LazyRows", dp: int):
+        """Row-shard a deferred array over 'data', building ONLY this
+        host's addressable blocks (host-sharded corpus loading). With a
+        1-wide data axis the whole range builds on the spot."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if dp <= 1:
+            return jax.device_put(
+                lazy.materialize(),
+                NamedSharding(self.mesh, P()) if self.mesh is not None else None)
+        n = lazy.shape[0]
+        padded = ((n + dp - 1) // dp) * dp
+        shape = (padded,) + lazy.shape[1:]
+        sharding = NamedSharding(self.mesh, P("data", *([None] * (lazy.ndim - 1))))
+        logging.info("host-sharded input array %r %s: building per-shard blocks",
+                     name, shape)
+
+        def cb(index):
+            row_sl = index[0] if isinstance(index, tuple) else index
+            lo = row_sl.start or 0
+            hi = row_sl.stop if row_sl.stop is not None else padded
+            return lazy.materialize(lo, hi)
+
+        return jax.make_array_from_callback(shape, sharding, cb)
 
     def fit(self, state: TrainState, model, batcher, arrays, epoch: int, rng_key) -> tuple:
         epoch_key = jax.random.fold_in(rng_key, epoch)

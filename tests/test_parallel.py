@@ -193,3 +193,73 @@ def test_sharded_input_arrays_match_replicated(tmp_path):
     for k in res_rep:
         np.testing.assert_allclose(res_sh[k], res_rep[k], atol=1e-6,
                                    err_msg=f"{k}: {res_sh} vs {res_rep}")
+
+
+def test_host_shard_input_lazy_builds_match_eager(tmp_path):
+    """--host_shard_input: history banks build per addressable 'data'
+    block through LazyRows callbacks (host-sharded corpus loading) and
+    train/eval identically to the eager replicated path."""
+    import argparse
+
+    from rechorus_tpu import registry
+    from rechorus_tpu.data import batching as B
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.data.synthetic import make_topk_dataset
+    from rechorus_tpu.parallel import mesh as M
+
+    make_topk_dataset(str(tmp_path / "Synth"), n_users=48, n_items=500,
+                      n_per_user=8, n_neg=9)
+
+    seen_ranges = []
+    orig_materialize = B.LazyRows.materialize
+
+    def spy(self, lo=0, hi=None):
+        seen_ranges.append((lo, self.shape[0] if hi is None else hi))
+        return orig_materialize(self, lo, hi)
+
+    def run(host_shard):
+        args = argparse.Namespace(
+            path=str(tmp_path), dataset="Synth", sep="\t",
+            epoch=1, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-2, l2=1e-6,
+            batch_size=32, eval_batch_size=16, optimizer="Adam", num_workers=0,
+            pin_memory=0, topk="5", metric="NDCG,HR", main_metric="",
+            model_path="", random_seed=0, num_neg=2, dropout=0.0, test_all=0,
+            emb_size=16, history_max=6, buffer=1, num_layers=1, num_heads=2,
+            data_parallel=4, model_parallel=2, host_shard_input=host_shard,
+        )
+        corpus = registry.get_reader("SeqReader")(args)
+        model_cls = registry.get_model("SASRec")
+        model = model_cls.from_args(args, corpus)
+        runner = registry.get_runner(model_cls.runner)(args)
+        batchers = {p: get_batcher(model_cls.batcher)(corpus, model, p, args)
+                    for p in ["train", "dev"]}
+        raw = {p: b.device_arrays() for p, b in batchers.items()}
+        if host_shard:
+            assert isinstance(raw["train"]["history_items"], B.LazyRows)
+        arrays = {p: runner.place_arrays(v) for p, v in raw.items()}
+        state = runner.init_state(model, batchers["train"], 0)
+        for e in range(1, 3):
+            state, loss = runner.fit(state, model, batchers["train"], arrays["train"],
+                                     e, jax.random.key(0))
+        res = runner.evaluate(state, model, batchers["dev"], arrays["dev"],
+                              "dev", [5], ["HR", "NDCG"])
+        return loss, res
+
+    try:
+        loss_e, res_e = run(0)
+        B.LazyRows.materialize = spy
+        try:
+            loss_l, res_l = run(1)
+        finally:
+            B.LazyRows.materialize = orig_materialize
+    finally:
+        M.set_table_row_pad(1)
+    # every build was a strict sub-range (per-shard blocks, 'data'=4)
+    assert seen_ranges, "LazyRows.materialize never called"
+    widths = {hi - lo for lo, hi in seen_ranges}
+    full = max(hi for _, hi in seen_ranges)
+    assert all(w < full for w in widths), (widths, full)
+    np.testing.assert_allclose(loss_l, loss_e, rtol=1e-4)
+    for k in res_e:
+        np.testing.assert_allclose(res_l[k], res_e[k], atol=1e-6,
+                                   err_msg=f"{k}: {res_l} vs {res_e}")

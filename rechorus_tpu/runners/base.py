@@ -276,35 +276,38 @@ class BaseRunner:
 
     # ------------------------------------------------------------------ #
     # jitted program builders (cached per phase)
-    def _get_epoch_fn(self, model, batcher, arrays):
+    def _get_epoch_fn(self, model, batcher):
         if "train" in self._compiled:
             return self._compiled["train"]
         tx = self._tx
-        step_fn = self._build_step_fn(model, batcher, arrays, tx)
+        step_fn = self._build_step_fn(model, batcher, tx)
 
         # the tail batch (n % batch_size) runs at its TRUE smaller shape
         # inside the SAME jit call, after the scan over full batches -- no
         # example is seen twice per epoch (reference smaller-last-batch
         # semantics, BaseRunner.py:174-208) and the epoch stays one
-        # dispatch. tail_idx=None compiles the no-tail variant.
+        # dispatch. tail_idx=None compiles the no-tail variant. `arrays`
+        # is an ARGUMENT (not a closure constant): multi-host runs pass
+        # 'data'-sharded corpus arrays, which jax forbids capturing.
         @partial(jax.jit, donate_argnums=(0,), static_argnames=("has_tail",))
-        def epoch_fn(state: TrainState, perm: jnp.ndarray, tail_idx, epoch_key: jax.Array,
-                     has_tail: bool):
+        def epoch_fn(state: TrainState, arrays, perm: jnp.ndarray, tail_idx,
+                     epoch_key: jax.Array, has_tail: bool):
+            step = lambda st, xs: step_fn(arrays, st, xs)  # noqa: E731
             keys = jax.random.split(epoch_key, perm.shape[0] + 1)
-            state, losses = jax.lax.scan(step_fn, state, (perm, keys[:-1]),
+            state, losses = jax.lax.scan(step, state, (perm, keys[:-1]),
                                          unroll=self.scan_unroll)
             loss_sum, n_steps = losses.sum(), perm.shape[0]
             if has_tail:
-                state, tail_loss = step_fn(state, (tail_idx, keys[-1]))
+                state, tail_loss = step(state, (tail_idx, keys[-1]))
                 loss_sum, n_steps = loss_sum + tail_loss, n_steps + 1
             return state, loss_sum / n_steps
 
         self._compiled["train"] = epoch_fn
         return epoch_fn
 
-    def _build_step_fn(self, model, batcher, arrays, tx):
+    def _build_step_fn(self, model, batcher, tx):
 
-        def step_fn(state: TrainState, xs):
+        def step_fn(arrays, state: TrainState, xs):
             idx, key = xs
             feed_key, neg_key, perm_key, drop_key = jax.random.split(key, 4)
             feed = batcher.train_feed(arrays, idx, neg_key)
@@ -435,11 +438,11 @@ class BaseRunner:
             )
         return scores
 
-    def _get_eval_fn(self, model, batcher, arrays, phase: str):
+    def _get_eval_fn(self, model, batcher, phase: str):
         if phase in self._compiled:
             return self._compiled[phase]
 
-        def rank_step(variables, idx):
+        def rank_step(arrays, variables, idx):
             feed = batcher.eval_feed(arrays, idx)
             if getattr(batcher, "test_all", False):
                 from rechorus_tpu.ops.pallas_kernels import catalog_ranks
@@ -474,9 +477,10 @@ class BaseRunner:
             return variables, ranks
 
         @jax.jit
-        def eval_fn(params, extra_vars, idx_mat):
+        def eval_fn(params, extra_vars, arrays, idx_mat):
             variables = {"params": params, **extra_vars}
-            _, ranks = jax.lax.scan(rank_step, variables, idx_mat)
+            _, ranks = jax.lax.scan(lambda v, i: rank_step(arrays, v, i),
+                                    variables, idx_mat)
             return self._replicate_out(ranks.reshape(-1))
 
         self._compiled[phase] = eval_fn
@@ -592,19 +596,19 @@ class BaseRunner:
         n, B = len(batcher), self.batch_size
         perm = np.asarray(jax.random.permutation(jax.random.fold_in(epoch_key, 1), n))
         n_full, n_tail = n // B, n % B
-        epoch_fn = self._get_epoch_fn(model, batcher, arrays)
+        epoch_fn = self._get_epoch_fn(model, batcher)
         idx_mat = self._place_index_matrix(perm[: n_full * B].reshape(n_full, B).astype(np.int32))
         tail_idx = self._place_index_matrix(perm[n_full * B:].astype(np.int32)) if n_tail \
             else jnp.zeros((0,), jnp.int32)
-        state, loss = epoch_fn(state, idx_mat, tail_idx,
+        state, loss = epoch_fn(state, arrays, idx_mat, tail_idx,
                                jax.random.fold_in(epoch_key, 2), has_tail=bool(n_tail))
         return state, float(loss)
 
     def predict_ranks(self, state: TrainState, model, batcher, arrays, phase: str) -> np.ndarray:
         n = len(batcher)
         idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
-        eval_fn = self._get_eval_fn(model, batcher, arrays, phase)
-        ranks = np.asarray(eval_fn(state.params, state.extra_vars, idx_mat))
+        eval_fn = self._get_eval_fn(model, batcher, phase)
+        ranks = np.asarray(eval_fn(state.params, state.extra_vars, arrays, idx_mat))
         return ranks[:n]  # drop wrap-around padding
 
     def predict_topk(self, state, model, batcher, arrays, phase: str, k: int = 100):
@@ -615,7 +619,7 @@ class BaseRunner:
         cache_key = (phase, "topk", k)
         if cache_key not in self._compiled:
 
-            def step(variables, idx):
+            def step(arrays, variables, idx):
                 feed = batcher.eval_feed(arrays, idx)
                 if getattr(batcher, "test_all", False):
                     if getattr(model, "supports_catalog", False):
@@ -668,16 +672,17 @@ class BaseRunner:
                 return variables, (items, scores)
 
             @jax.jit
-            def topk_fn(params, extra_vars, idx_mat):
+            def topk_fn(params, extra_vars, arrays, idx_mat):
                 variables = {"params": params, **extra_vars}
-                _, (items, scores) = jax.lax.scan(step, variables, idx_mat)
+                _, (items, scores) = jax.lax.scan(
+                    lambda v, i: step(arrays, v, i), variables, idx_mat)
                 return (self._replicate_out(items.reshape(-1, items.shape[-1])),
                         self._replicate_out(scores.reshape(-1, scores.shape[-1])))
 
             self._compiled[cache_key] = topk_fn
         n = len(batcher)
         idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
-        items, scores = self._compiled[cache_key](state.params, state.extra_vars, idx_mat)
+        items, scores = self._compiled[cache_key](state.params, state.extra_vars, arrays, idx_mat)
         return np.asarray(items)[:n], np.asarray(scores)[:n]
 
     def evaluate(self, state, model, batcher, arrays, phase, topks, metric_names) -> Dict[str, float]:

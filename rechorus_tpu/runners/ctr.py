@@ -29,19 +29,20 @@ class CTRRunner(BaseRunner):
         self.main_metric = self.metrics[0] if not args.main_metric else args.main_metric
         self.main_topk = 0
 
-    def _get_eval_fn(self, model, batcher, arrays, phase: str):
+    def _get_eval_fn(self, model, batcher, phase: str):
         if phase in self._compiled:
             return self._compiled[phase]
 
-        def pred_step(variables, idx):
+        def pred_step(arrays, variables, idx):
             feed = batcher.eval_feed(arrays, idx)
             out = model.apply(variables, feed, training=False)
             return variables, (out["prediction"].reshape(-1), feed["label"].reshape(-1))
 
         @jax.jit
-        def eval_fn(params, extra_vars, idx_mat):
+        def eval_fn(params, extra_vars, arrays, idx_mat):
             variables = {"params": params, **extra_vars}
-            _, (preds, labels) = jax.lax.scan(pred_step, variables, idx_mat)
+            _, (preds, labels) = jax.lax.scan(
+                lambda v, i: pred_step(arrays, v, i), variables, idx_mat)
             return (self._replicate_out(preds.reshape(-1)),
                     self._replicate_out(labels.reshape(-1)))
 
@@ -51,8 +52,8 @@ class CTRRunner(BaseRunner):
     def predict(self, state, model, batcher, arrays, phase: str):
         n = len(batcher)
         idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
-        eval_fn = self._get_eval_fn(model, batcher, arrays, phase)
-        preds, labels = eval_fn(state.params, state.extra_vars, idx_mat)
+        eval_fn = self._get_eval_fn(model, batcher, phase)
+        preds, labels = eval_fn(state.params, state.extra_vars, arrays, idx_mat)
         return np.asarray(preds)[:n], np.asarray(labels)[:n]
 
     def evaluate(self, state, model, batcher, arrays, phase, topks, metric_names) -> Dict[str, float]:

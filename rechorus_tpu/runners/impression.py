@@ -23,11 +23,11 @@ from rechorus_tpu.runners.base import BaseRunner
 class ImpressionRunner(BaseRunner):
     evaluate_method = staticmethod(metrics_ops.evaluate_impression)
 
-    def _get_eval_fn(self, model, batcher, arrays, phase: str):
+    def _get_eval_fn(self, model, batcher, phase: str):
         if phase in self._compiled:
             return self._compiled[phase]
 
-        def pred_step(variables, idx):
+        def pred_step(arrays, variables, idx):
             feed = batcher.eval_feed(arrays, idx)
             out = model.apply(variables, feed, training=False)
             pred = out["prediction"]
@@ -36,9 +36,10 @@ class ImpressionRunner(BaseRunner):
             return variables, (pred, feed["pos_num"], feed["neg_num"])
 
         @jax.jit
-        def eval_fn(params, extra_vars, idx_mat):
+        def eval_fn(params, extra_vars, arrays, idx_mat):
             variables = {"params": params, **extra_vars}
-            _, (preds, pos_num, neg_num) = jax.lax.scan(pred_step, variables, idx_mat)
+            _, (preds, pos_num, neg_num) = jax.lax.scan(
+                lambda v, i: pred_step(arrays, v, i), variables, idx_mat)
             return (
                 self._replicate_out(preds.reshape(-1, preds.shape[-1])),
                 self._replicate_out(pos_num.reshape(-1)),
@@ -51,8 +52,8 @@ class ImpressionRunner(BaseRunner):
     def predict(self, state, model, batcher, arrays, phase: str):
         n = len(batcher)
         idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
-        eval_fn = self._get_eval_fn(model, batcher, arrays, phase)
-        preds, pos_num, neg_num = eval_fn(state.params, state.extra_vars, idx_mat)
+        eval_fn = self._get_eval_fn(model, batcher, phase)
+        preds, pos_num, neg_num = eval_fn(state.params, state.extra_vars, arrays, idx_mat)
         return np.asarray(preds)[:n], np.asarray(pos_num)[:n], np.asarray(neg_num)[:n]
 
     def evaluate(self, state, model, batcher, arrays, phase, topks, metric_names) -> Dict[str, float]:

@@ -14,7 +14,9 @@ jax.config.update("jax_num_cpu_devices", 4)
 
 pid = int(sys.argv[1])
 tmp = sys.argv[2]
-jax.distributed.initialize(coordinator_address="localhost:29517",
+host_shard = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+port = sys.argv[4] if len(sys.argv) > 4 else "29517"
+jax.distributed.initialize(coordinator_address="localhost:" + port,
                            num_processes=2, process_id=pid)
 
 from rechorus_tpu import registry  # noqa: E402
@@ -38,8 +40,23 @@ args = argparse.Namespace(
     num_workers=0, pin_memory=0, topk="5", metric="NDCG,HR", main_metric="",
     model_path="", random_seed=0, num_neg=2, dropout=0.1, test_all=0,
     emb_size=32, history_max=8, buffer=1, num_layers=1, num_heads=2,
-    data_parallel=4, model_parallel=2,
+    data_parallel=4, model_parallel=2, host_shard_input=host_shard,
 )
+
+built_ranges = []
+if host_shard:
+    # count the rows this PROCESS materializes: with 2 hosts on a 4-wide
+    # 'data' axis each host owns 2 of the 4 row blocks
+    from rechorus_tpu.data import batching as B
+
+    _orig_materialize = B.LazyRows.materialize
+
+    def _spy(self, lo=0, hi=None):
+        built_ranges.append((self.shape, lo, self.shape[0] if hi is None else hi))
+        return _orig_materialize(self, lo, hi)
+
+    B.LazyRows.materialize = _spy
+
 corpus = registry.get_reader("SeqReader")(args)
 model_cls = registry.get_model("SASRec")
 runner = registry.get_runner(model_cls.runner)(args)
@@ -53,3 +70,13 @@ eval_batcher = get_batcher(model_cls.batcher)(corpus, model, "dev", args)
 eval_arrays = runner.place_arrays(eval_batcher.device_arrays())
 res = runner.evaluate(state, model, eval_batcher, eval_arrays, "dev", [5], ["HR", "NDCG"])
 print(f"DIST_OK loss={loss:.6f} HR@5={res['HR@5']:.6f} NDCG@5={res['NDCG@5']:.6f}", flush=True)
+if host_shard:
+    n_train = len(batcher)
+    # distinct ranges built for the train history bank [n_train, H]:
+    # this host must only have materialized ITS row blocks (+ the 2-row
+    # init prefix), i.e. ~half the rows on 2 hosts
+    H = args.history_max
+    ranges = {(lo, hi) for shape, lo, hi in built_ranges
+              if shape == (n_train, H) and hi - lo > 2}
+    covered = sum(hi - lo for lo, hi in ranges)
+    print(f"LAZY_BUILT train_rows={n_train} covered={covered}", flush=True)

@@ -112,6 +112,17 @@ class BaseRunner:
                             help="Per-element recall target of the approx lane "
                                  "(measured 1 chip, catalog 100k: 0.95 -> 630k users/s, "
                                  "0.98 -> 280k, 0.99 -> 96k, exact 30.6k).")
+        parser.add_argument("--ckpt_format", type=str, default="flax",
+                            choices=["flax", "orbax"],
+                            help="Checkpoint serialization. 'flax': single-file "
+                                 "msgpack bytes (reference torch.save parity; "
+                                 "gathers sharded tables to the host). 'orbax': "
+                                 "sharded checkpoint directory written "
+                                 "asynchronously -- each host persists only its "
+                                 "addressable table shards and the disk write "
+                                 "overlaps the next training epoch. Multi-process "
+                                 "runs auto-upgrade to orbax (flax bytes cannot "
+                                 "serialize non-addressable arrays).")
         parser.add_argument("--lazy_emb_adam", type=int, default=0,
                             help="Touched-rows-only Adam for embedding tables "
                                  "(tf LazyAdam / torch SparseAdam semantics; "
@@ -183,6 +194,13 @@ class BaseRunner:
 
                 set_table_dtype(jnp.bfloat16)  # process-global, like row pad
         self.shard_input_mb = int(getattr(args, "shard_input_mb", 16))
+        self.ckpt_format = getattr(args, "ckpt_format", "flax")
+        if self.ckpt_format == "flax" and jax.process_count() > 1:
+            logging.warning("multi-process run: flax-bytes checkpoints cannot "
+                            "serialize non-addressable (host-sharded) arrays; "
+                            "switching to --ckpt_format orbax")
+            self.ckpt_format = "orbax"
+        self._async_ckptr = None
         self.approx_topk = bool(getattr(args, "approx_topk", 0))
         self.approx_topk_recall = float(getattr(args, "approx_topk_recall", 0.98))
         self.time = None
@@ -260,18 +278,55 @@ class BaseRunner:
             state = shard_state(state, tx, self.mesh)
         return state
 
+    def _orbax(self):
+        if self._async_ckptr is None:
+            import orbax.checkpoint as ocp
+
+            # async: the device->host copy is synchronous (safe against the
+            # next epoch_fn donating the state buffers); the disk write runs
+            # in a background thread and overlaps training. Multi-host saves
+            # are coordinated by orbax (each process writes its shards).
+            self._async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        return self._async_ckptr
+
+    def finalize_ckpt(self):
+        """Block until any in-flight async checkpoint write is durable."""
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait_until_finished()
+
     def save_model(self, state: TrainState, model_path: str = None):
         path = model_path or self.model_path
         utils.check_dir(path)
+        tree = {"params": state.params, "extra_vars": state.extra_vars}
+        if self.ckpt_format == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._orbax().save(os.path.abspath(path) + ".orbax",
+                               args=ocp.args.StandardSave(tree), force=True)
+            return
         with open(path, "wb") as f:
-            f.write(flax.serialization.to_bytes({"params": state.params, "extra_vars": state.extra_vars}))
+            f.write(flax.serialization.to_bytes(tree))
 
     def load_model(self, state: TrainState, model_path: str = None) -> TrainState:
         path = model_path or self.model_path
-        with open(path, "rb") as f:
-            restored = flax.serialization.from_bytes(
-                {"params": state.params, "extra_vars": state.extra_vars}, f.read()
-            )
+        if self.ckpt_format == "orbax":
+            import orbax.checkpoint as ocp
+
+            ckptr = self._orbax()
+            ckptr.wait_until_finished()
+            # restore straight onto the live shardings (mesh runs get their
+            # row-sharded tables back sharded; no host gather)
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=getattr(x, "sharding", None)),
+                {"params": state.params, "extra_vars": state.extra_vars})
+            restored = ckptr.restore(os.path.abspath(path) + ".orbax",
+                                     args=ocp.args.StandardRestore(abstract))
+        else:
+            with open(path, "rb") as f:
+                restored = flax.serialization.from_bytes(
+                    {"params": state.params, "extra_vars": state.extra_vars}, f.read()
+                )
         return state.replace(params=restored["params"], extra_vars=restored["extra_vars"])
 
     # ------------------------------------------------------------------ #
@@ -766,6 +821,7 @@ class BaseRunner:
                 logging.info("Early stop at %d based on dev result." % (epoch + 1))
                 break
 
+        self.finalize_ckpt()  # async orbax write must be durable before reload
         best_epoch = main_metric_results.index(max(main_metric_results))
         self.last_best_epoch = best_epoch + 1  # exp.py in-process trailer
         logging.info(

@@ -97,176 +97,6 @@ def test_sasrec_forward_parity():
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
 
 
-# --------------------------------------------------------------------- #
-@pytest.fixture(scope="module")
-def ctr_corpus(tmp_path_factory):
-    from rechorus_tpu import registry
-    from rechorus_tpu.data.synthetic import make_ctr_dataset
-
-    root = tmp_path_factory.mktemp("data")
-    make_ctr_dataset(str(root / "SynthCTR"))
-    args = argparse.Namespace(
-        path=str(root), dataset="SynthCTR", sep="\t",
-        include_item_features=1, include_user_features=1, include_situation_features=1)
-    return registry.get_reader("ContextReader")(args)
-
-
-def _port_fm_tables(ref, corpus, schema):
-    """Per-feature reference tables -> one fused table at schema offsets."""
-    from rechorus_tpu.data.context import is_categorical
-
-    d = ref.vec_size
-    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
-    fused_lin = np.zeros((schema.total_vocab, 1), dtype=np.float32)
-    bank = {}
-    fj = 0
-    for name, off in zip(schema.names, schema.offsets):
-        if is_categorical(name):
-            w = ref.context_embedding[name].weight.detach().numpy()
-            fused[off: off + w.shape[0]] = w
-            fused_lin[off: off + w.shape[0]] = ref.linear_embedding[name].weight.detach().numpy()
-        else:
-            bank[f"float_emb_{fj}"] = {
-                "kernel": ref.context_embedding[name].weight.detach().numpy().T}
-            bank[f"float_lin_{fj}"] = {
-                "kernel": ref.linear_embedding[name].weight.detach().numpy().T}
-            fj += 1
-    bank["fused_table"] = {"embedding": fused}
-    bank["fused_linear"] = {"embedding": fused_lin}
-    return bank
-
-
-def test_fm_ctr_forward_parity(ctr_corpus):
-    from models.context.FM import FMCTR as TorchFMCTR
-
-    from rechorus_tpu.data.context import build_schema
-    from rechorus_tpu.registry import get_model
-
-    corpus = ctr_corpus
-    torch.manual_seed(0)
-    ref = TorchFMCTR(ref_args(), corpus).eval()
-
-    args = argparse.Namespace(emb_size=16, loss_n="BCE", dropout=0.0, test_all=0,
-                              num_neg=0, model_path="", buffer=1)
-    model_cls = get_model("FMCTR")
-    model = model_cls.from_args(args, corpus)
-    schema = build_schema(corpus)
-    params = {"bank": _port_fm_tables(ref, corpus, schema),
-              "overall_bias": ref.overall_bias.detach().numpy()}
-
-    rng = np.random.default_rng(2)
-    B = 16
-    df = corpus.data_df["dev"]
-    rows = rng.choice(len(df), size=B, replace=False)
-    users = df["user_id"].to_numpy()[rows].astype(np.int32)
-    items = df["item_id"].to_numpy()[rows].astype(np.int32)
-    labels = df["label"].to_numpy()[rows].astype(np.float32)
-
-    # torch feed: per-feature columns, item-side [B, 1]
-    tf = {"user_id": t(users), "item_id": t(items[:, None]), "label": t(labels[:, None])}
-    for c in corpus.user_feature_names:
-        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
-    for c in corpus.item_feature_names:
-        tf[c] = t(np.asarray([[corpus.item_features[i][c]] for i in items]))
-    for c in corpus.situation_feature_names:
-        tf[c] = t(df[c].to_numpy()[rows])
-    with torch.no_grad():
-        ref_out = ref(tf)
-
-    import jax.numpy as jnp
-
-    situ_names = corpus.situation_feature_names
-    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items[:, None]),
-            "label": jnp.asarray(labels[:, None])}
-    situ_cat = [df[c].to_numpy()[rows] for c in situ_names if c.endswith(("_c", "_id"))]
-    situ_float = [df[c].to_numpy()[rows] for c in situ_names if c.endswith("_f")]
-    feed["situ_cat"] = jnp.asarray(np.stack(situ_cat, -1).astype(np.int32)) if situ_cat else jnp.zeros((B, 0), jnp.int32)
-    feed["situ_float"] = jnp.asarray(np.stack(situ_float, -1).astype(np.float32)) if situ_float else jnp.zeros((B, 0), jnp.float32)
-
-    variables = model.init({"params": __import__("jax").random.key(0)}, feed, training=False)
-    out = model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
-                      feed, training=False)
-    np.testing.assert_allclose(
-        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
-
-
-# --------------------------------------------------------------------- #
-def test_din_forward_parity(ctr_corpus):
-    """DIN: target attention + Dice/BatchNorm DNN. Exercises the fused
-    feature bank, history feature join, masked unnormalized attention,
-    and the (fresh-stats) BatchNorm/Dice stack."""
-    from models.context_seq.DIN import DINTopK as TorchDIN
-
-    from rechorus_tpu.data.context import build_schema, is_categorical
-    from rechorus_tpu.registry import get_model
-
-    corpus = ctr_corpus
-    torch.manual_seed(0)
-    rargs = ref_args(att_layers="[32]", dnn_layers="[24]", add_historical_situations=0,
-                     history_max=5)
-    ref = TorchDIN(rargs, corpus).eval()
-
-    args = argparse.Namespace(emb_size=16, att_layers="[32]", dnn_layers="[24]",
-                              add_historical_situations=0, loss_n="BPR", dropout=0.0,
-                              test_all=0, num_neg=1, model_path="", buffer=1, history_max=5)
-    model_cls = get_model("DINTopK")
-    model = model_cls.from_args(args, corpus)
-    schema = build_schema(corpus)
-
-    d = 16
-    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
-    params = {}
-    for name, off in zip(schema.names, schema.offsets):
-        if is_categorical(name):
-            w = ref.embedding_dict[name].weight.detach().numpy()
-            fused[off: off + w.shape[0]] = w
-        else:
-            params[f"float_{name}"] = {
-                "kernel": ref.embedding_dict[name].weight.detach().numpy().T}
-    params["fused_table"] = {"embedding": fused}
-
-    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    blk = "transformer_block.0."
-    params = {
-        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
-        "p_embeddings": {"embedding": sd["p_embeddings.weight"]},
-        "transformer_0": {
-            "mha": {
-                "q": {"kernel": sd[blk + "masked_attn_head.q_linear.weight"].T,
-                      "bias": sd[blk + "masked_attn_head.q_linear.bias"]},
-                "k": {"kernel": sd[blk + "masked_attn_head.k_linear.weight"].T,
-                      "bias": sd[blk + "masked_attn_head.k_linear.bias"]},
-                "v": {"kernel": sd[blk + "masked_attn_head.v_linear.weight"].T,
-                      "bias": sd[blk + "masked_attn_head.v_linear.bias"]},
-            },
-            "ln1": {"scale": sd[blk + "layer_norm1.weight"], "bias": sd[blk + "layer_norm1.bias"]},
-            "ff1": {"kernel": sd[blk + "linear1.weight"].T, "bias": sd[blk + "linear1.bias"]},
-            "ff2": {"kernel": sd[blk + "linear2.weight"].T, "bias": sd[blk + "linear2.bias"]},
-            "ln2": {"scale": sd[blk + "layer_norm2.weight"], "bias": sd[blk + "layer_norm2.bias"]},
-        },
-    }
-
-    rng = np.random.default_rng(1)
-    B, C = 6, 4
-    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
-    hist = np.zeros((B, H), dtype=np.int32)
-    for b in range(B):
-        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
-    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
-    users = rng.integers(1, n_users, size=B).astype(np.int32)
-
-    with torch.no_grad():
-        ref_out = ref({"item_id": t(items), "history_items": t(hist),
-                       "lengths": t(lengths), "user_id": t(users),
-                       "batch_size": B, "phase": "test"})
-    import jax.numpy as jnp
-
-    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
-            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
-    out = model.apply({"params": params}, feed, training=False)
-    np.testing.assert_allclose(
-        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
-
 
 # --------------------------------------------------------------------- #
 @pytest.fixture(scope="module")
@@ -500,6 +330,176 @@ def test_fpmc_forward_parity():
 
     feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
             "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+def _port_gru(sd, prefix):
+    """torch nn.GRU (gate order r,z,n; separate ih/hh biases) -> flax
+    GRUCell (ir/iz/in with bias, hr/hz without -- fold b_hr/b_hz into the
+    input-side bias; hn keeps its own bias for the r-gated term)."""
+    H = sd[f"{prefix}.bias_ih_l0"].shape[0] // 3
+    wi, wh = sd[f"{prefix}.weight_ih_l0"], sd[f"{prefix}.weight_hh_l0"]
+    bi, bh = sd[f"{prefix}.bias_ih_l0"], sd[f"{prefix}.bias_hh_l0"]
+    return {"GRUCell_0": {
+        "ir": {"kernel": wi[:H].T, "bias": bi[:H] + bh[:H]},
+        "iz": {"kernel": wi[H:2 * H].T, "bias": bi[H:2 * H] + bh[H:2 * H]},
+        "in": {"kernel": wi[2 * H:].T, "bias": bi[2 * H:]},
+        "hr": {"kernel": wh[:H].T},
+        "hz": {"kernel": wh[H:2 * H].T},
+        "hn": {"kernel": wh[2 * H:].T, "bias": bh[2 * H:]},
+    }}
+
+
+def _seq_feed(rng, n_users, n_items, H, B=6, C=4):
+    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
+    lengths[0] = H  # reference NARM's pad_packed output must span H cols
+    hist = np.zeros((B, H), dtype=np.int32)
+    for b in range(B):
+        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    return users, items, hist, lengths
+
+
+def test_gru4rec_forward_parity():
+    """GRU4Rec: validates the MaskedGRU fixed-shape scan against torch's
+    sort+pack_padded_sequence path (reference GRU4Rec.py:49-66), plus the
+    r/z/n gate-order weight mapping."""
+    from models.sequential.GRU4Rec import GRU4Rec as TorchGRU4Rec
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H = 30, 50, 8
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchGRU4Rec(ref_args(hidden_size=12), corpus).eval()
+
+    model = get_model("GRU4Rec")(user_num=n_users, item_num=n_items, emb_size=16,
+                                 hidden_size=12, dropout=0.0, history_max=H)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "rnn": _port_gru(sd, "rnn"),
+        "out": {"kernel": sd["out.weight"].T, "bias": sd["out.bias"]},
+    }
+
+    rng = np.random.default_rng(3)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users), "batch_size": 6})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_narm_forward_parity():
+    """NARM: dual GRU encoders + sigmoid-MLP attention (reference
+    NARM.py:53-86). Catches wrong masking of padded GRU outputs (our
+    MaskedGRU carries the last valid state past `lengths`; the attention
+    mask must hide it exactly like torch's zero-padded pack output)."""
+    from models.sequential.NARM import NARM as TorchNARM
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H = 30, 50, 8
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchNARM(ref_args(hidden_size=12, attention_size=7), corpus).eval()
+
+    model = get_model("NARM")(user_num=n_users, item_num=n_items, emb_size=16,
+                              hidden_size=12, attention_size=7, dropout=0.0,
+                              history_max=H)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "encoder_g": _port_gru(sd, "encoder_g"),
+        "encoder_l": _port_gru(sd, "encoder_l"),
+        "A1": {"kernel": sd["A1.weight"].T},
+        "A2": {"kernel": sd["A2.weight"].T},
+        "attention_out": {"kernel": sd["attention_out.weight"].T},
+        "out": {"kernel": sd["out.weight"].T},
+    }
+
+    rng = np.random.default_rng(5)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users), "batch_size": 6})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_tisasrec_forward_parity():
+    """TiSASRec: time-interval-aware attention (reference
+    TiSASRec.py:118-199) -- the most intricate sequential forward. Checks
+    the pairwise-interval K/V einsums, interval bucketing (floor-div by
+    per-user min interval, clip to time_max) and position indexing."""
+    import pandas as pd
+    from models.sequential.TiSASRec import TiSASRec as TorchTiSASRec
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H, T_MAX = 30, 50, 8, 16
+    all_df = pd.DataFrame({
+        "user_id": np.repeat(np.arange(1, n_users), 3),
+        "time": np.tile(np.array([3, 10, 24]), n_users - 1),
+    })
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items, all_df=all_df)
+    torch.manual_seed(0)
+    ref = TorchTiSASRec(ref_args(num_layers=1, num_heads=2, time_max=T_MAX), corpus).eval()
+
+    model = get_model("TiSASRec")(user_num=n_users, item_num=n_items, emb_size=16,
+                                  num_layers=1, num_heads=2, time_max=T_MAX,
+                                  dropout=0.0, history_max=H)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    blk = "transformer_block.0."
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "p_k_embeddings": {"embedding": sd["p_k_embeddings.weight"]},
+        "p_v_embeddings": {"embedding": sd["p_v_embeddings.weight"]},
+        "t_k_embeddings": {"embedding": sd["t_k_embeddings.weight"]},
+        "t_v_embeddings": {"embedding": sd["t_v_embeddings.weight"]},
+        "block_0": {
+            "q": {"kernel": sd[blk + "masked_attn_head.q_linear.weight"].T,
+                  "bias": sd[blk + "masked_attn_head.q_linear.bias"]},
+            "k": {"kernel": sd[blk + "masked_attn_head.k_linear.weight"].T,
+                  "bias": sd[blk + "masked_attn_head.k_linear.bias"]},
+            "v": {"kernel": sd[blk + "masked_attn_head.v_linear.weight"].T,
+                  "bias": sd[blk + "masked_attn_head.v_linear.bias"]},
+            "ln1": {"scale": sd[blk + "layer_norm1.weight"], "bias": sd[blk + "layer_norm1.bias"]},
+            "ff1": {"kernel": sd[blk + "linear1.weight"].T, "bias": sd[blk + "linear1.bias"]},
+            "ff2": {"kernel": sd[blk + "linear2.weight"].T, "bias": sd[blk + "linear2.bias"]},
+            "ln2": {"scale": sd[blk + "layer_norm2.weight"], "bias": sd[blk + "layer_norm2.bias"]},
+        },
+    }
+
+    rng = np.random.default_rng(7)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    times = np.sort(rng.integers(0, 200, size=(6, H)), axis=1).astype(np.int64)
+    min_iv = rng.integers(1, 6, size=6).astype(np.int64)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "history_times": t(times), "user_min_intervals": t(min_iv),
+                       "lengths": t(lengths), "user_id": t(users), "batch_size": 6})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths),
+            "history_times": jnp.asarray(times.astype(np.int32)),
+            "user_min_intervals": jnp.asarray(min_iv.astype(np.int32))}
     out = model.apply({"params": params}, feed, training=False)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)

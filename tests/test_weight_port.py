@@ -503,3 +503,96 @@ def test_tisasrec_forward_parity():
     out = model.apply({"params": params}, feed, training=False)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_caser_forward_parity():
+    """Caser: horizontal/vertical CNN (reference Caser.py:55-103). The
+    vertical-conv flatten order differs (torch NCHW channel-major vs our
+    NHWC position-major), so the fc weight columns are permuted to match
+    -- a pure input-permutation absorbed by the dense layer."""
+    from models.sequential.Caser import Caser as TorchCaser
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H, E = 30, 50, 8, 16
+    num_h, num_v, L = 5, 3, 4
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchCaser(ref_args(num_horizon=num_h, num_vertical=num_v, L=L), corpus).eval()
+
+    model = get_model("Caser")(user_num=n_users, item_num=n_items, emb_size=E,
+                               num_horizon=num_h, num_vertical=num_v, L=L,
+                               dropout=0.0, history_max=H)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    v_dim = num_v * E
+    fc_w = sd["fc.weight"]  # [E, v_dim + h_dim], v-part channel-major
+    fc_v = fc_w[:, :v_dim].reshape(E, num_v, E).transpose(0, 2, 1).reshape(E, v_dim)
+    fc_ours = np.concatenate([fc_v, fc_w[:, v_dim:]], axis=1)
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "u_embeddings": {"embedding": sd["u_embeddings.weight"]},
+        "conv_v": {"kernel": sd["conv_v.weight"].transpose(2, 3, 1, 0),
+                   "bias": sd["conv_v.bias"]},
+        "fc": {"kernel": fc_ours.T, "bias": sd["fc.bias"]},
+        "out": {"kernel": sd["out.weight"].T, "bias": sd["out.bias"]},
+    }
+    for h in range(1, L + 1):
+        params[f"conv_h_{h}"] = {
+            "kernel": sd[f"conv_h.{h - 1}.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"conv_h.{h - 1}.bias"]}
+
+    rng = np.random.default_rng(8)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users), "batch_size": 6})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_lightgcn_forward_parity(monkeypatch):
+    """LightGCN: our edge-list segment_sum propagation vs the reference's
+    scipy CSR + torch.sparse.mm (LightGCN.py:22-53,137-154). Same
+    D^-1/2 A D^-1/2 normalization, K layers, mean-of-layers."""
+    from models.general.LightGCN import LightGCN as TorchLightGCN
+
+    from rechorus_tpu.registry import get_model
+
+    # reference hardcodes .cuda() on the sparse adjacency (LightGCN.py:120)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False)
+
+    n_users, n_items, E, K = 20, 40, 16, 2
+    rng = np.random.default_rng(9)
+    clicked = {u: set(rng.choice(np.arange(1, n_items), size=5, replace=False).tolist())
+               for u in range(1, n_users)}
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items,
+                                   train_clicked_set=clicked)
+    torch.manual_seed(0)
+    ref = TorchLightGCN(ref_args(n_layers=K, batch_size=256), corpus).eval()
+
+    model_cls = get_model("LightGCN")
+    model = model_cls(user_num=n_users, item_num=n_items, emb_size=E, n_layers=K,
+                      dropout=0.0, **model_cls.graph_kwargs(corpus))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"user_emb": sd["encoder.embedding_dict.user_emb"],
+              "item_emb": sd["encoder.embedding_dict.item_emb"]}
+
+    B, C = 6, 4
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items), "batch_size": B})
+    import jax
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items)}
+    variables = model.init({"params": jax.random.key(0)}, feed, training=False)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    out = model.apply({"params": params, **extra}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-4)

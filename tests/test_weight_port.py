@@ -596,3 +596,79 @@ def test_lightgcn_forward_parity(monkeypatch):
     out = model.apply({"params": params, **extra}, feed, training=False)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-4)
+
+
+def test_autoint_forward_parity(ctr_corpus):
+    """AutoInt: stacked feature self-attention + linear residual over the
+    FM embedding bank (reference AutoInt.py:50-80). attention_d != d_model
+    and bias=False exercise the MHA projection options."""
+    from models.context.AutoInt import AutoIntCTR as TorchAutoInt
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    rargs = ref_args(attention_size=8, num_heads=2, num_layers=1, layers="[24]")
+    ref = TorchAutoInt(rargs, corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, attention_size=8, num_heads=2,
+                              num_layers=1, layers="[24]", loss_n="BCE",
+                              dropout=0.0, test_all=0, num_neg=0, model_path="",
+                              buffer=1)
+    model_cls = get_model("AutoIntCTR")
+    model = model_cls.from_args(args, corpus)
+    schema = build_schema(corpus)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "bank": _port_fm_tables(ref, corpus, schema),
+        "overall_bias": ref.overall_bias.detach().numpy(),
+        "att_0": {
+            "q": {"kernel": sd["autoint_attentions.0.q_linear.weight"].T},
+            "k": {"kernel": sd["autoint_attentions.0.k_linear.weight"].T},
+            "v": {"kernel": sd["autoint_attentions.0.v_linear.weight"].T},
+        },
+        "residual_0": {"kernel": sd["residual_embeddings.0.weight"].T,
+                       "bias": sd["residual_embeddings.0.bias"]},
+        "deep_layers": {
+            "dense_0": {"kernel": sd["deep_layers.mlp.0.weight"].T,
+                        "bias": sd["deep_layers.mlp.0.bias"]},
+            "head": {"kernel": sd["deep_layers.mlp.2.weight"].T,
+                     "bias": sd["deep_layers.mlp.2.bias"]},
+        },
+    }
+
+    rng = np.random.default_rng(11)
+    B = 16
+    df = corpus.data_df["dev"]
+    rows = rng.choice(len(df), size=B, replace=False)
+    users = df["user_id"].to_numpy()[rows].astype(np.int32)
+    items = df["item_id"].to_numpy()[rows].astype(np.int32)
+    labels = df["label"].to_numpy()[rows].astype(np.float32)
+
+    tf = {"user_id": t(users), "item_id": t(items[:, None]), "label": t(labels[:, None])}
+    for c in corpus.user_feature_names:
+        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
+    for c in corpus.item_feature_names:
+        tf[c] = t(np.asarray([[corpus.item_features[i][c]] for i in items]))
+    for c in corpus.situation_feature_names:
+        tf[c] = t(df[c].to_numpy()[rows])
+    with torch.no_grad():
+        ref_out = ref(tf)
+
+    import jax
+    import jax.numpy as jnp
+
+    situ_names = corpus.situation_feature_names
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items[:, None]),
+            "label": jnp.asarray(labels[:, None])}
+    situ_cat = [df[c].to_numpy()[rows] for c in situ_names if c.endswith(("_c", "_id"))]
+    situ_float = [df[c].to_numpy()[rows] for c in situ_names if c.endswith("_f")]
+    feed["situ_cat"] = jnp.asarray(np.stack(situ_cat, -1).astype(np.int32)) if situ_cat else jnp.zeros((B, 0), jnp.int32)
+    feed["situ_float"] = jnp.asarray(np.stack(situ_float, -1).astype(np.float32)) if situ_float else jnp.zeros((B, 0), jnp.float32)
+
+    variables = model.init({"params": jax.random.key(0)}, feed, training=False)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    out = model.apply({"params": params, **extra}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)

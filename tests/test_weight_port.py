@@ -672,3 +672,68 @@ def test_autoint_forward_parity(ctr_corpus):
     out = model.apply({"params": params, **extra}, feed, training=False)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_kda_forward_parity():
+    """KDA (the flagship Grocery model): relational dynamic aggregation
+    with the learnable inverse-DFT temporal decay, relation
+    self-attention, average pooling and item bias (reference
+    KDA.py:105-160, 266-303). Proves the architecture matches so the
+    above-published Grocery numbers are training-side, not a different
+    model. num_layers=1 (the benchmarked config; for >1 layers the
+    reference re-applies ONE shared block where we stack fresh ones)."""
+    from models.sequential.KDA import KDA as TorchKDA
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H, d, R, N_ENT, N_DFT = 30, 50, 8, 16, 3, 70, 8
+    F = N_DFT // 2 + 1
+    corpus = types.SimpleNamespace(
+        n_users=n_users, n_items=n_items, n_relations=R, n_entities=N_ENT,
+        freq_x=np.zeros((R, F), dtype=complex))
+    torch.manual_seed(0)
+    rargs = ref_args(n_dft=N_DFT, freq_rand=1, gamma=0.5, attention_size=10,
+                     pooling="average", include_val=1, neg_head_p=0.5)
+    ref = TorchKDA(rargs, corpus).eval()
+
+    model = get_model("KDA")(
+        user_num=n_users, item_num=n_items, emb_size=d, num_layers=1,
+        num_heads=2, dropout=0.0, history_max=H, relation_num=R,
+        entity_num=N_ENT, freq_dim=F, t_scalar=60, freq_rand=1, gamma=0.5,
+        include_val=1, pooling="average")
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "user_embeddings": {"embedding": sd["user_embeddings.weight"]},
+        "entity_embeddings": {"embedding": sd["entity_embeddings.weight"]},
+        "relation_embeddings": sd["relation_embeddings.weight"],
+        "freq_real": sd["relational_dynamic_aggregation.freq_real.weight"],
+        "freq_imag": sd["relational_dynamic_aggregation.freq_imag.weight"],
+        "item_bias": {"embedding": sd["item_bias.weight"]},
+        "attn_0": {"q": {"kernel": sd["attn_head.q_linear.weight"].T},
+                   "k": {"kernel": sd["attn_head.k_linear.weight"].T},
+                   "v": {"kernel": sd["attn_head.v_linear.weight"].T}},
+        "w1_0": {"kernel": sd["W1.weight"].T, "bias": sd["W1.bias"]},
+        "w2_0": {"kernel": sd["W2.weight"].T, "bias": sd["W2.bias"]},
+        "ln_0": {"scale": sd["layer_norm.weight"], "bias": sd["layer_norm.bias"]},
+    }
+
+    rng = np.random.default_rng(12)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    B, C = items.shape
+    item_val = rng.integers(0, N_ENT, size=(B, C, R)).astype(np.int32)
+    delta_t = rng.uniform(0.0, 4.0, size=(B, H)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items),
+                       "item_val": t(item_val), "history_items": t(hist),
+                       "history_delta_t": t(delta_t), "lengths": t(lengths),
+                       "batch_size": B, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "item_val": jnp.asarray(item_val), "history_items": jnp.asarray(hist),
+            "history_delta_t": jnp.asarray(delta_t), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)

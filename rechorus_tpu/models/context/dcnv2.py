@@ -49,9 +49,11 @@ class DCNv2Base:
 
     def cross_net_mix(self, x0):
         """MoE of low-rank experts with tanh nonlinearity in the subspace
-        (reference DCNv2.py:96-145, RecBole-derived)."""
+        (reference DCNv2.py:96-145, RecBole-derived). The gating Linear is
+        per-EXPERT, shared across cross layers (reference DCNv2.py:62)."""
         D = x0.shape[-1]
         x_l = x0
+        gating_mods = [dense(1, name=f"gating_{e}") for e in range(self.expert_num)]
         for layer in range(self.cross_layer_num):
             b = self.param(f"cross_b_{layer}", nn.initializers.zeros, (D,))
             U = self.param(f"cross_u_{layer}", nn.initializers.normal(1.0), (self.expert_num, D, self.low_rank))
@@ -59,7 +61,7 @@ class DCNv2Base:
             Cm = self.param(f"cross_c_{layer}", nn.initializers.normal(1.0), (self.expert_num, self.low_rank, self.low_rank))
             expert_outs, gates = [], []
             for e in range(self.expert_num):
-                gates.append(dense(1, name=f"gating_{layer}_{e}")(x_l))  # [B, C, 1]
+                gates.append(gating_mods[e](x_l))  # [B, C, 1]
                 xl_v = jnp.einsum("dr,bcd->bcr", V[e], x_l)
                 xl_c = jnp.tanh(xl_v)
                 xl_c = jnp.einsum("rs,bcs->bcr", Cm[e], xl_c)

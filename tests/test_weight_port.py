@@ -737,3 +737,290 @@ def test_kda_forward_parity():
     out = model.apply({"params": params}, feed, training=False)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+def _ctr_feed_pair(corpus, seed, B=16):
+    """Identical CTR feeds for both frameworks: torch per-feature columns
+    (item-side [B, 1]) and our fused situ_cat/situ_float layout."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    df = corpus.data_df["dev"]
+    rows = rng.choice(len(df), size=B, replace=False)
+    users = df["user_id"].to_numpy()[rows].astype(np.int32)
+    items = df["item_id"].to_numpy()[rows].astype(np.int32)
+    labels = df["label"].to_numpy()[rows].astype(np.float32)
+
+    tf = {"user_id": t(users), "item_id": t(items[:, None]), "label": t(labels[:, None])}
+    for c in corpus.user_feature_names:
+        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
+    for c in corpus.item_feature_names:
+        tf[c] = t(np.asarray([[corpus.item_features[i][c]] for i in items]))
+    for c in corpus.situation_feature_names:
+        tf[c] = t(df[c].to_numpy()[rows])
+
+    situ_names = corpus.situation_feature_names
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items[:, None]),
+            "label": jnp.asarray(labels[:, None])}
+    situ_cat = [df[c].to_numpy()[rows] for c in situ_names if c.endswith(("_c", "_id"))]
+    situ_float = [df[c].to_numpy()[rows] for c in situ_names if c.endswith("_f")]
+    feed["situ_cat"] = jnp.asarray(np.stack(situ_cat, -1).astype(np.int32)) if situ_cat else jnp.zeros((B, 0), jnp.int32)
+    feed["situ_float"] = jnp.asarray(np.stack(situ_float, -1).astype(np.float32)) if situ_float else jnp.zeros((B, 0), jnp.float32)
+    return tf, feed
+
+
+def _apply_ported(model, params, feed):
+    """model.apply with freshly-initialized non-param collections kept."""
+    import jax
+
+    variables = model.init({"params": jax.random.key(0)}, feed, training=False)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    return model.apply({"params": params, **extra}, feed, training=False)
+
+
+def _port_mlp_block(sd, prefix, torch_idx):
+    """torch MLP_Block (Linear/ReLU/... + output Linear) -> our MLPBlock
+    {dense_i, head}. torch_idx lists the Linear indices inside .mlp;
+    the last one becomes 'head'."""
+    out = {}
+    for i, ti in enumerate(torch_idx):
+        name = "head" if i == len(torch_idx) - 1 else f"dense_{i}"
+        out[name] = {"kernel": sd[f"{prefix}.mlp.{ti}.weight"].T,
+                     "bias": sd[f"{prefix}.mlp.{ti}.bias"]}
+    return out
+
+
+def test_widedeep_forward_parity(ctr_corpus):
+    """Wide&Deep: FM linear wide part + deep MLP over flattened feature
+    embeddings (reference WideDeep.py:34-46)."""
+    from models.context.WideDeep import WideDeepCTR as TorchWD
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    ref = TorchWD(ref_args(layers="[24]"), corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, layers="[24]", loss_n="BCE", dropout=0.0,
+                              test_all=0, num_neg=0, model_path="", buffer=1)
+    model = get_model("WideDeepCTR").from_args(args, corpus)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"bank": _port_fm_tables(ref, corpus, build_schema(corpus)),
+              "overall_bias": ref.overall_bias.detach().numpy(),
+              "deep_layers": _port_mlp_block(sd, "deep_layers", [0, 2])}
+
+    tf, feed = _ctr_feed_pair(corpus, 13)
+    with torch.no_grad():
+        ref_out = ref(tf)
+    out = _apply_ported(get_model("WideDeepCTR").from_args(args, corpus), params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_deepfm_forward_parity(ctr_corpus):
+    """DeepFM: FM second-order term + shared-embedding deep tower
+    (reference DeepFM.py:19-28)."""
+    from models.context.DeepFM import DeepFMCTR as TorchDeepFM
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    ref = TorchDeepFM(ref_args(layers="[24]"), corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, layers="[24]", loss_n="BCE", dropout=0.0,
+                              test_all=0, num_neg=0, model_path="", buffer=1)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"bank": _port_fm_tables(ref, corpus, build_schema(corpus)),
+              "overall_bias": ref.overall_bias.detach().numpy(),
+              "deep_layers": _port_mlp_block(sd, "deep_layers", [0, 2])}
+
+    tf, feed = _ctr_feed_pair(corpus, 14)
+    with torch.no_grad():
+        ref_out = ref(tf)
+    out = _apply_ported(get_model("DeepFMCTR").from_args(args, corpus), params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_afm_forward_parity(ctr_corpus):
+    """AFM: pairwise interactions weighted by AttLayer softmax + projection
+    p (reference AFM.py:46-81). Checks the triu pair enumeration order."""
+    from models.context.AFM import AFMCTR as TorchAFM
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    ref = TorchAFM(ref_args(attention_size=8, reg_weight=2.0), corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, attention_size=8, reg_weight=2.0,
+                              loss_n="BCE", dropout=0.0, test_all=0, num_neg=0,
+                              model_path="", buffer=1)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"bank": _port_fm_tables(ref, corpus, build_schema(corpus)),
+              "overall_bias": ref.overall_bias.detach().numpy(),
+              "attlayer": {"w": {"kernel": sd["attlayer.w.weight"].T},
+                           "h": sd["attlayer.h"]},
+              "p": sd["p"]}
+
+    tf, feed = _ctr_feed_pair(corpus, 15)
+    with torch.no_grad():
+        ref_out = ref(tf)
+    out = _apply_ported(get_model("AFMCTR").from_args(args, corpus), params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def _port_ctx_tables(ref, corpus, schema):
+    """Per-feature context tables (no linear part) -> fused bank."""
+    from rechorus_tpu.data.context import is_categorical
+
+    d = ref.vec_size
+    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
+    bank = {}
+    fj = 0
+    for name, off in zip(schema.names, schema.offsets):
+        if is_categorical(name):
+            w = ref.context_embedding[name].weight.detach().numpy()
+            fused[off: off + w.shape[0]] = w
+        else:
+            bank[f"float_emb_{fj}"] = {
+                "kernel": ref.context_embedding[name].weight.detach().numpy().T}
+            fj += 1
+    bank["fused_table"] = {"embedding": fused}
+    return bank
+
+
+def test_dcn_forward_parity(ctr_corpus):
+    """DCN: rank-1 cross network + BatchNorm deep tower in parallel
+    (reference DCN.py:64-97)."""
+    from models.context.DCN import DCNCTR as TorchDCN
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    ref = TorchDCN(ref_args(layers="[24]", cross_layer_num=2, reg_weight=2.0),
+                   corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, layers="[24]", cross_layer_num=2,
+                              reg_weight=2.0, loss_n="BCE", dropout=0.0,
+                              test_all=0, num_neg=0, model_path="", buffer=1)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"bank": _port_ctx_tables(ref, corpus, build_schema(corpus)),
+              "deep_layers": {
+                  "dense_0": {"kernel": sd["deep_layers.mlp.0.weight"].T,
+                              "bias": sd["deep_layers.mlp.0.bias"]},
+                  "bn_0": {"scale": sd["deep_layers.mlp.1.weight"],
+                           "bias": sd["deep_layers.mlp.1.bias"]}},
+              "predict_layer": {"kernel": sd["predict_layer.weight"].T,
+                                "bias": sd["predict_layer.bias"]}}
+    for l in range(2):
+        params[f"cross_w_{l}"] = sd[f"cross_layer_w.{l}"]
+        params[f"cross_b_{l}"] = sd[f"cross_layer_b.{l}"]
+
+    tf, feed = _ctr_feed_pair(corpus, 16)
+    with torch.no_grad():
+        ref_out = ref(tf)
+    out = _apply_ported(get_model("DCNCTR").from_args(args, corpus), params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("mixed,structure", [(1, "parallel"), (0, "stacked")])
+def test_dcnv2_forward_parity(ctr_corpus, mixed, structure):
+    """DCNv2: full-matrix cross (mixed=0) and low-rank MoE cross (mixed=1)
+    x parallel/stacked head (reference DCNv2.py:79-172). The gating Linear
+    is per-expert, shared across layers (DCNv2.py:62)."""
+    from models.context.DCNv2 import DCNv2CTR as TorchDCNv2
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    L, E = 2, 2
+    rargs = ref_args(layers="[24]", cross_layer_num=L, reg_weight=2.0,
+                     mixed=mixed, structure=structure, low_rank=8, expert_num=E)
+    ref = TorchDCNv2(rargs, corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, layers="[24]", cross_layer_num=L,
+                              reg_weight=2.0, mixed=mixed, structure=structure,
+                              low_rank=8, expert_num=E, loss_n="BCE", dropout=0.0,
+                              test_all=0, num_neg=0, model_path="", buffer=1)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"bank": _port_ctx_tables(ref, corpus, build_schema(corpus)),
+              "deep_layers": {
+                  "dense_0": {"kernel": sd["deep_layers.mlp.0.weight"].T,
+                              "bias": sd["deep_layers.mlp.0.bias"]},
+                  "bn_0": {"scale": sd["deep_layers.mlp.1.weight"],
+                           "bias": sd["deep_layers.mlp.1.bias"]}},
+              "predict_layer": {"kernel": sd["predict_layer.weight"].T,
+                                "bias": sd["predict_layer.bias"]}}
+    for l in range(L):
+        params[f"cross_b_{l}"] = sd[f"bias.{l}"][:, 0]
+        if mixed:
+            params[f"cross_u_{l}"] = sd[f"cross_layer_u.{l}"]
+            params[f"cross_v_{l}"] = sd[f"cross_layer_v.{l}"]
+            params[f"cross_c_{l}"] = sd[f"cross_layer_c.{l}"]
+        else:
+            params[f"cross_w2_{l}"] = sd[f"cross_layer_w2.{l}"]
+    if mixed:
+        for e in range(E):
+            params[f"gating_{e}"] = {"kernel": sd[f"gating.{e}.weight"].T,
+                                     "bias": sd[f"gating.{e}.bias"]}
+
+    tf, feed = _ctr_feed_pair(corpus, 17)
+    with torch.no_grad():
+        ref_out = ref(tf)
+    out = _apply_ported(get_model("DCNv2CTR").from_args(args, corpus), params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_xdeepfm_forward_parity(ctr_corpus):
+    """xDeepFM: FM + deep + CIN. The reference's forward DROPS the CIN
+    term from the sum and its CIN loop keeps only the last candidate
+    (xDeepFM.py:130-151, documented deviation) -- we fix both, so the
+    expectation is rebuilt as sigmoid(ref_fm_deep_logit + ref_cin_logit),
+    with the CIN logit computed by the reference's own CIN on the C=1
+    feed (where its last-candidate quirk is harmless)."""
+    from models.context.xDeepFM import xDeepFMBase as TorchXDFMBase
+    from models.context.xDeepFM import xDeepFMCTR as TorchXDFM
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    rargs = ref_args(layers="[24]", cin_layers="[4,4]", direct=0, reg_weight=2.0)
+    ref = TorchXDFM(rargs, corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, layers="[24]", cin_layers="[4,4]",
+                              direct=0, reg_weight=2.0, loss_n="BCE", dropout=0.0,
+                              test_all=0, num_neg=0, model_path="", buffer=1)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"bank": _port_fm_tables(ref, corpus, build_schema(corpus)),
+              "overall_bias": ref.overall_bias.detach().numpy(),
+              "deep_layers": _port_mlp_block(sd, "deep_layers", [0, 2]),
+              "cin_linear": {"kernel": sd["cin_linear.weight"].T,
+                             "bias": sd["cin_linear.bias"]}}
+    for i in range(2):
+        params[f"cin_w_{i}"] = sd[f"conv1d_list.{i}.weight"][:, :, 0]
+        params[f"cin_b_{i}"] = sd[f"conv1d_list.{i}.bias"]
+
+    tf, feed = _ctr_feed_pair(corpus, 18)
+    with torch.no_grad():
+        raw = TorchXDFMBase.forward(ref, tf)["prediction"]  # fm + deep only
+        ctx, _ = ref._get_embeddings_FM(tf)
+        cin_out = ref.compreseed_interaction_network(ctx)
+        cin_pred = ref.cin_linear(cin_out).squeeze(-1)
+        expected = torch.sigmoid(raw[:, 0] + cin_pred).numpy()
+    out = _apply_ported(get_model("xDeepFMCTR").from_args(args, corpus), params, feed)
+    np.testing.assert_allclose(np.asarray(out["prediction"]), expected, atol=1e-5)

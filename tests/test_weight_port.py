@@ -876,21 +876,22 @@ def test_afm_forward_parity(ctr_corpus):
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
 
 
-def _port_ctx_tables(ref, corpus, schema):
+def _port_ctx_tables(ref, corpus, schema, attr="context_embedding"):
     """Per-feature context tables (no linear part) -> fused bank."""
     from rechorus_tpu.data.context import is_categorical
 
-    d = ref.vec_size
+    table_dict = getattr(ref, attr)
+    d = next(iter(table_dict.values())).weight.shape[-1]
     fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
     bank = {}
     fj = 0
     for name, off in zip(schema.names, schema.offsets):
         if is_categorical(name):
-            w = ref.context_embedding[name].weight.detach().numpy()
+            w = table_dict[name].weight.detach().numpy()
             fused[off: off + w.shape[0]] = w
         else:
             bank[f"float_emb_{fj}"] = {
-                "kernel": ref.context_embedding[name].weight.detach().numpy().T}
+                "kernel": table_dict[name].weight.detach().numpy().T}
             fj += 1
     bank["fused_table"] = {"embedding": fused}
     return bank
@@ -1024,3 +1025,154 @@ def test_xdeepfm_forward_parity(ctr_corpus):
         expected = torch.sigmoid(raw[:, 0] + cin_pred).numpy()
     out = _apply_ported(get_model("xDeepFMCTR").from_args(args, corpus), params, feed)
     np.testing.assert_allclose(np.asarray(out["prediction"]), expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("itype,agg,residual,layers", [
+    ("SAM2A", "concat", 0, 1),
+    ("SAM2E", "concat", 0, 1),
+    ("SAM3A", "weighted_pooling", 1, 1),
+    ("SAM3E", "sum_pooling", 1, 2),
+])
+def test_sam_forward_parity(ctr_corpus, itype, agg, residual, layers):
+    """SAM: all four FuxiCTR interaction blocks + aggregation modes
+    (reference SAM.py:118-219)."""
+    from models.context.SAM import SAMCTR as TorchSAM
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    rargs = ref_args(interaction_type=itype, aggregation=agg,
+                     use_residual=residual, num_layers=layers)
+    ref = TorchSAM(rargs, corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, interaction_type=itype, aggregation=agg,
+                              use_residual=residual, num_layers=layers,
+                              loss_n="BCE", dropout=0.0, test_all=0, num_neg=0,
+                              model_path="", buffer=1)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    block = {}
+    if agg == "weighted_pooling":
+        block["agg_weight"] = sd["block.weight"]
+    if itype == "SAM2A":
+        block["W"] = sd["block.layers.0.W"]
+    for i in range(layers if itype in ("SAM3A", "SAM3E") else 0):
+        block[f"K_{i}"] = {"kernel": sd[f"block.layers.{i}.K.weight"].T}
+        if itype == "SAM3A":
+            block[f"W_{i}"] = sd[f"block.layers.{i}.W"]
+        if residual:
+            block[f"Q_{i}"] = {"kernel": sd[f"block.layers.{i}.Q.weight"].T}
+    params = {"bank": _port_ctx_tables(ref, corpus, build_schema(corpus), "embedding_dict"),
+              "block": block,
+              "output_layer": {"kernel": sd["output_layer.weight"].T,
+                               "bias": sd["output_layer.bias"]}}
+
+    tf, feed = _ctr_feed_pair(corpus, 19)
+    with torch.no_grad():
+        ref_out = ref(tf)
+    out = _apply_ported(get_model("SAMCTR").from_args(args, corpus), params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ctr_corpus_nouser(tmp_path_factory):
+    """Corpus WITHOUT u_* features: the reference FinalMLP builds tables
+    for all context features but its forward only consumes user_id +
+    item-side + situation embeddings, so its first MLP layer's in_features
+    only matches when there are no u_* columns."""
+    from rechorus_tpu import registry
+    from rechorus_tpu.data.synthetic import make_ctr_dataset
+
+    root = tmp_path_factory.mktemp("data_nu")
+    make_ctr_dataset(str(root / "SynthCTR"))
+    args = argparse.Namespace(
+        path=str(root), dataset="SynthCTR", sep="\t",
+        include_item_features=1, include_user_features=0, include_situation_features=1)
+    return registry.get_reader("ContextReader")(args)
+
+
+@pytest.mark.parametrize("fs1", ["", "c_hour_c"])
+def test_finalmlp_forward_parity(ctr_corpus_nouser, fs1):
+    """FinalMLP: two-stream MLPs + feature-selection gates + bilinear
+    multi-head fusion (reference FinalMLP.py:77-103,141-249). The
+    reference flattens features as [user_id, i_*, item_id, c_*] while our
+    bank is canonical [i_*, c_*, user_id, item_id]; the permutation is
+    absorbed into the first MLP kernels / gate-head outputs."""
+    from models.context.FinalMLP import FinalMLPCTR as TorchFinalMLP
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus_nouser
+    torch.manual_seed(0)
+    d = 16
+    rargs = ref_args(mlp1_hidden_units="[24,12]", mlp1_hidden_activations="ReLU",
+                     mlp1_dropout=0.0, mlp1_batch_norm=0,
+                     mlp2_hidden_units="[18]", mlp2_hidden_activations="ReLU",
+                     mlp2_dropout=0.0, mlp2_batch_norm=0,
+                     use_fs=1, fs_hidden_units="[10]", fs1_context=fs1,
+                     fs2_context="", num_heads=2)
+    ref = TorchFinalMLP(rargs, corpus).eval()
+
+    args = argparse.Namespace(emb_size=d, mlp1_hidden_units="[24,12]",
+                              mlp1_hidden_activations="ReLU", mlp1_dropout=0.0,
+                              mlp1_batch_norm=0, mlp2_hidden_units="[18]",
+                              mlp2_hidden_activations="ReLU", mlp2_dropout=0.0,
+                              mlp2_batch_norm=0, use_fs=1, fs_hidden_units="[10]",
+                              fs1_context=fs1, fs2_context="", num_heads=2,
+                              loss_n="BCE", dropout=0.0, test_all=0, num_neg=0,
+                              model_path="", buffer=1)
+    schema = build_schema(corpus)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    # reference X order vs our canonical order, as emb_size-blocks
+    ref_order = (["user_id"]
+                 + [f for f in corpus.item_feature_names] + ["item_id"]
+                 + list(corpus.situation_feature_names))
+    perm = [ref_order.index(n) for n in schema.names]  # ours[j] = ref[perm[j]]
+
+    def permute_in(kernel):  # [in, out] rows are d-blocks in ref order
+        blocks = kernel.reshape(len(perm), d, -1)
+        return blocks[perm].reshape(kernel.shape)
+
+    def permute_out(kernel, bias):  # head producing a gate over ref order
+        kb = kernel.reshape(kernel.shape[0], len(perm), d)[:, perm]
+        bb = bias.reshape(len(perm), d)[perm]
+        return kb.reshape(kernel.shape), bb.reshape(bias.shape)
+
+    g1k, g1b = permute_out(sd["fs_module.fs1_gate.mlp.2.weight"].T,
+                           sd["fs_module.fs1_gate.mlp.2.bias"])
+    g2k, g2b = permute_out(sd["fs_module.fs2_gate.mlp.2.weight"].T,
+                           sd["fs_module.fs2_gate.mlp.2.bias"])
+    params = {"bank": _port_ctx_tables(ref, corpus, schema, "embedding_dict"),
+              "mlp1": {"dense_0": {"kernel": permute_in(sd["mlp1.mlp.0.weight"].T),
+                                   "bias": sd["mlp1.mlp.0.bias"]},
+                       "dense_1": {"kernel": sd["mlp1.mlp.2.weight"].T,
+                                   "bias": sd["mlp1.mlp.2.bias"]}},
+              "mlp2": {"dense_0": {"kernel": permute_in(sd["mlp2.mlp.0.weight"].T),
+                                   "bias": sd["mlp2.mlp.0.bias"]}},
+              "fs1_gate": {"dense_0": {"kernel": sd["fs_module.fs1_gate.mlp.0.weight"].T,
+                                       "bias": sd["fs_module.fs1_gate.mlp.0.bias"]},
+                           "head": {"kernel": g1k, "bias": g1b}},
+              "fs2_gate": {"dense_0": {"kernel": sd["fs_module.fs2_gate.mlp.0.weight"].T,
+                                       "bias": sd["fs_module.fs2_gate.mlp.0.bias"]},
+                           "head": {"kernel": g2k, "bias": g2b}},
+              "fs2_ctx_bias": sd["fs_module.fs2_ctx_bias"],
+              "w_x": {"kernel": sd["fusion_module.w_x.weight"].T,
+                      "bias": sd["fusion_module.w_x.bias"]},
+              "w_y": {"kernel": sd["fusion_module.w_y.weight"].T,
+                      "bias": sd["fusion_module.w_y.bias"]},
+              "w_xy": sd["fusion_module.w_xy"].reshape(2, 12 // 2, 18 // 2)}
+    if fs1:
+        params["fs1_emb_0"] = {"embedding": sd["fs_module.fs1_ctx_emb.0.weight"]}
+    else:
+        params["fs1_ctx_bias"] = sd["fs_module.fs1_ctx_bias"]
+
+    tf, feed = _ctr_feed_pair(corpus, 20)
+    with torch.no_grad():
+        ref_out = ref(tf)
+    out = _apply_ported(get_model("FinalMLPCTR").from_args(args, corpus), params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)

@@ -229,12 +229,14 @@ class AttentionalGRU(nn.Module):
         B, T, D = inputs.shape
         Hs = self.hidden_size
         scale = 1.0 / (Hs ** 0.5)
-        u_init = nn.initializers.uniform(scale=2 * scale)  # ~ torch GRU default
 
-        wx = self.param("wx", u_init, (D, 3 * Hs)) - scale
-        wh = self.param("wh", u_init, (Hs, 3 * Hs)) - scale
-        bx = self.param("bx", u_init, (3 * Hs,)) - scale
-        bh = self.param("bh", u_init, (3 * Hs,)) - scale
+        def u_init(key, shape, dtype=jnp.float32):  # ~ torch GRU default U(-s, s)
+            return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+        wx = self.param("wx", u_init, (D, 3 * Hs))
+        wh = self.param("wh", u_init, (Hs, 3 * Hs))
+        bx = self.param("bx", u_init, (3 * Hs,))
+        bh = self.param("bh", u_init, (3 * Hs,))
 
         if self.gru_type == "AIGRU":
             inputs = inputs * att_scores[:, :, None]

@@ -740,6 +740,283 @@ def test_kda_forward_parity():
 
 
 # --------------------------------------------------------------------- #
+def test_comirec_forward_parity():
+    """ComiRec: K-head history attention -> K interests, eval takes the
+    max over interests per candidate (reference ComiRec.py:55-91)."""
+    from models.sequential.ComiRec import ComiRec as TorchComiRec
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H = 30, 50, 8
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchComiRec(ref_args(attn_size=7, K=3, add_pos=1), corpus).eval()
+
+    model = get_model("ComiRec")(user_num=n_users, item_num=n_items, emb_size=16,
+                                 attn_size=7, K=3, add_pos=1, dropout=0.0,
+                                 history_max=H)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "p_embeddings": {"embedding": sd["p_embeddings.weight"]},
+        "W1": {"kernel": sd["W1.weight"].T, "bias": sd["W1.bias"]},
+        "W2": {"kernel": sd["W2.weight"].T, "bias": sd["W2.bias"]},
+    }
+
+    rng = np.random.default_rng(25)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users),
+                       "batch_size": 6, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_slrcplus_forward_parity():
+    """SLRC+: Hawkes base intensity + relational excitation with
+    exponential/normal mixture kernels (reference SLRCPlus.py:63-92)."""
+    from models.sequential.SLRCPlus import SLRCPlus as TorchSLRC
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, R = 30, 50, 3
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items,
+                                   item_relations=["r_a", "r_b"])
+    torch.manual_seed(0)
+    ref = TorchSLRC(ref_args(time_scalar=60), corpus).eval()
+
+    model = get_model("SLRCPlus")(user_num=n_users, item_num=n_items, emb_size=16,
+                                  time_scalar=60, relation_num=R, dropout=0.0,
+                                  history_max=8)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"global_alpha": sd["global_alpha"]}
+    for name in ("u_embeddings", "i_embeddings", "user_bias", "item_bias",
+                 "alphas", "pis", "betas", "sigmas", "mus"):
+        params[name] = {"embedding": sd[f"{name}.weight"]}
+
+    rng = np.random.default_rng(26)
+    B, C = 6, 4
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    # intervals: mix of -1 (absent) and positive values
+    r_int = rng.uniform(0, 3, size=(B, C, R)).astype(np.float32)
+    r_int[rng.random((B, C, R)) < 0.5] = -1.0
+
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items),
+                       "relational_interval": t(r_int), "batch_size": B})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "relational_interval": jnp.asarray(r_int)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def _port_trm(sd, prefix):
+    """torch TransformerLayer (layers.py:92-118) -> our TransformerLayer."""
+    return {
+        "mha": {
+            "q": {"kernel": sd[f"{prefix}.masked_attn_head.q_linear.weight"].T,
+                  "bias": sd[f"{prefix}.masked_attn_head.q_linear.bias"]},
+            "k": {"kernel": sd[f"{prefix}.masked_attn_head.k_linear.weight"].T,
+                  "bias": sd[f"{prefix}.masked_attn_head.k_linear.bias"]},
+            "v": {"kernel": sd[f"{prefix}.masked_attn_head.v_linear.weight"].T,
+                  "bias": sd[f"{prefix}.masked_attn_head.v_linear.bias"]},
+        },
+        "ln1": {"scale": sd[f"{prefix}.layer_norm1.weight"], "bias": sd[f"{prefix}.layer_norm1.bias"]},
+        "ff1": {"kernel": sd[f"{prefix}.linear1.weight"].T, "bias": sd[f"{prefix}.linear1.bias"]},
+        "ff2": {"kernel": sd[f"{prefix}.linear2.weight"].T, "bias": sd[f"{prefix}.linear2.bias"]},
+        "ln2": {"scale": sd[f"{prefix}.layer_norm2.weight"], "bias": sd[f"{prefix}.layer_norm2.bias"]},
+    }
+
+
+def test_timirec_forward_parity():
+    """TiMiRec finetune inference: multi-interest extractor (attention +
+    transformer) combined via softmax(proj(GRU interest-predictor))
+    (reference TiMiRec.py:104-144). n_layers=2 exercises the hidden
+    projection layer."""
+    from models.sequential.TiMiRec import TiMiRec as TorchTiMiRec
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H = 30, 50, 8
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items, dataset="Synth")
+    torch.manual_seed(0)
+    rargs = ref_args(attn_size=7, K=3, add_pos=1, add_trm=1, temp=1.0,
+                     n_layers=2, stage="finetune", random_seed=0)
+    ref = TorchTiMiRec(rargs, corpus).eval()
+
+    model = get_model("TiMiRec")(user_num=n_users, item_num=n_items, emb_size=16,
+                                 attn_size=7, K=3, add_pos=1, add_trm=1, temp=1.0,
+                                 n_layers=2, stage="finetune", dropout=0.0,
+                                 history_max=H)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "interest_extractor": {
+            "i_embeddings": {"embedding": sd["interest_extractor.i_embeddings.weight"]},
+            "p_embeddings": {"embedding": sd["interest_extractor.p_embeddings.weight"]},
+            "W1": {"kernel": sd["interest_extractor.W1.weight"].T,
+                   "bias": sd["interest_extractor.W1.bias"]},
+            "W2": {"kernel": sd["interest_extractor.W2.weight"].T,
+                   "bias": sd["interest_extractor.W2.bias"]},
+            "transformer": _port_trm(sd, "interest_extractor.transformer"),
+        },
+        "interest_predictor": {
+            "i_embeddings": {"embedding": sd["interest_predictor.i_embeddings.weight"]},
+            "rnn": _port_gru(sd, "interest_predictor.rnn"),
+        },
+        "proj_0": {"kernel": sd["proj.proj_0.weight"].T, "bias": sd["proj.proj_0.bias"]},
+        "proj_final": {"kernel": sd["proj.proj_final.weight"].T,
+                       "bias": sd["proj.proj_final.bias"]},
+    }
+
+    rng = np.random.default_rng(28)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users),
+                       "batch_size": 6, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("encoder", ["BERT4Rec", "GRU4Rec", "Caser"])
+def test_contrarec_forward_parity(encoder):
+    """ContraRec inference across all three sequence encoders
+    (reference ContraRec.py:70-84, 196-276). History length == max_his
+    for Caser (the reference pads to max_his; ours convolves the given
+    length)."""
+    from models.sequential.ContraRec import ContraRec as TorchContraRec
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H = 30, 50, 8
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    rargs = ref_args(gamma=1.0, beta_a=3, beta_b=3, ctc_temp=1.0, ccc_temp=0.2,
+                     encoder=encoder)
+    ref = TorchContraRec(rargs, corpus).eval()
+
+    model = get_model("ContraRec")(user_num=n_users, item_num=n_items, emb_size=16,
+                                   encoder=encoder, dropout=0.0, history_max=H)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"i_embeddings": {"embedding": sd["i_embeddings.weight"]}}
+    if encoder == "BERT4Rec":
+        params["encoder"] = {
+            "p_embeddings": {"embedding": sd["encoder.p_embeddings.weight"]},
+            "trm_0": _port_trm(sd, "encoder.transformer_block.0"),
+            "trm_1": _port_trm(sd, "encoder.transformer_block.1"),
+        }
+    elif encoder == "GRU4Rec":
+        params["encoder"] = {
+            "rnn": _port_gru(sd, "encoder.rnn"),
+            "out": {"kernel": sd["encoder.out.weight"].T},
+        }
+    else:  # Caser
+        nv, E = 8, 16
+        v_dim = nv * E
+        fc_w = sd["encoder.fc.weight"]  # [E, v_dim + h_dim], v-part channel-major
+        fc_v = fc_w[:, :v_dim].reshape(E, nv, E).transpose(0, 2, 1).reshape(E, v_dim)
+        fc_ours = np.concatenate([fc_v, fc_w[:, v_dim:]], axis=1)
+        enc = {
+            "conv_v": {"kernel": sd["encoder.conv_v.weight"].transpose(2, 3, 1, 0),
+                       "bias": sd["encoder.conv_v.bias"]},
+            "fc": {"kernel": fc_ours.T, "bias": sd["encoder.fc.bias"]},
+        }
+        for i in range(1, 6):
+            enc[f"conv_h_{i}"] = {
+                "kernel": sd[f"encoder.conv_h.{i - 1}.weight"].transpose(2, 3, 1, 0),
+                "bias": sd[f"encoder.conv_h.{i - 1}.bias"]}
+        params["encoder"] = enc
+
+    rng = np.random.default_rng(29)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users),
+                       "batch_size": 6, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("base_method", ["BPR", "GMF"])
+def test_chorus_forward_parity(base_method, tmp_path, monkeypatch):
+    """Chorus stage-2 rec forward: per-relation temporal kernels
+    (exponential / complement=normal / substitute=-normal+normal) weight
+    relation-translated item embeddings (reference Chorus.py:100-153).
+    Built at stage=1 with a 'test' phase feed, which routes both
+    frameworks through rec_forward without needing a pretrain checkpoint
+    on disk (Chorus.py:96-99)."""
+    import pandas as pd
+    from models.sequential.Chorus import Chorus as TorchChorus
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, R, n_cat = 30, 50, 3, 5
+    meta = pd.DataFrame({"item_id": np.arange(1, n_items),
+                         "i_category": np.arange(1, n_items) % n_cat})
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items,
+                                   item_relations=["r_complement", "r_substitute"],
+                                   item_meta_df=meta, dataset="Synth")
+    torch.manual_seed(0)
+    monkeypatch.chdir(tmp_path)  # reference writes ../model/Chorus paths
+    rargs = ref_args(stage=1, base_method=base_method, time_scalar=60,
+                     category_col="i_category", lr_scale=0.1, margin=1.0, lr=1e-3)
+    ref = TorchChorus(rargs, corpus).eval()
+
+    args = argparse.Namespace(stage=1, base_method=base_method, emb_size=16,
+                              time_scalar=60, category_col="i_category",
+                              lr_scale=0.1, margin=1.0, dataset="Synth",
+                              model_path=str(tmp_path / "m.bin"), history_max=8,
+                              dropout=0.0, test_all=0, num_neg=1, buffer=1)
+    model = get_model("Chorus").from_args(args, corpus)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {name: sd[f"{name}.weight"]
+              for name in ("u_embeddings", "i_embeddings", "r_embeddings",
+                           "betas", "mus", "sigmas", "user_bias", "item_bias")}
+    params["prediction_w"] = sd["prediction.weight"].T
+
+    rng = np.random.default_rng(27)
+    B, C = 6, 4
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    cats = (items % n_cat).astype(np.int32)
+    r_int = rng.uniform(0, 3, size=(B, C, R)).astype(np.float32)
+    r_int[rng.random((B, C, R)) < 0.5] = -1.0
+
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items),
+                       "category_id": t(cats), "relational_interval": t(r_int),
+                       "batch_size": B, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "category_id": jnp.asarray(cats),
+            "relational_interval": jnp.asarray(r_int)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
 def _ctr_feed_pair(corpus, seed, B=16):
     """Identical CTR feeds for both frameworks: torch per-feature columns
     (item-side [B, 1]) and our fused situ_cat/situ_float layout."""
@@ -1176,3 +1453,386 @@ def test_finalmlp_forward_parity(ctr_corpus_nouser, fs1):
     out = _apply_ported(get_model("FinalMLPCTR").from_args(args, corpus), params, feed)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+def _port_group_tables(ref, corpus, schema, attr="embedding_dict"):
+    """Per-feature tables -> the top-level fused_table / float_{name}
+    params used by group_embeddings models (DIN/DIEN/CAN/ETA/SDIM)."""
+    from rechorus_tpu.data.context import is_categorical
+
+    table_dict = getattr(ref, attr)
+    d = next(iter(table_dict.values())).weight.shape[-1]
+    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
+    out = {}
+    for name, off in zip(schema.names, schema.offsets):
+        if is_categorical(name):
+            w = table_dict[name].weight.detach().numpy()
+            fused[off: off + w.shape[0]] = w
+        else:
+            out[f"float_{name}"] = {
+                "kernel": table_dict[name].weight.detach().numpy().T}
+    out["fused_table"] = {"embedding": fused}
+    return out
+
+
+def _port_attentional_gru(sd, prefix, cell=True):
+    """Reference AGRU/AUGRU cell (chunk order u,r,n; DIEN.py:325-369) or
+    nn.GRU (order r,z,n; AIGRU path) -> our AttentionalGRU wx/wh/bx/bh
+    in torch-GRU order (r,z,n)."""
+    if cell:
+        wx, wh = sd[f"{prefix}.gru_cell.x2h.weight"], sd[f"{prefix}.gru_cell.h2h.weight"]
+        bx, bh = sd[f"{prefix}.gru_cell.x2h.bias"], sd[f"{prefix}.gru_cell.h2h.bias"]
+        Hs = wx.shape[0] // 3
+        reorder = lambda m: np.concatenate([m[Hs:2 * Hs], m[:Hs], m[2 * Hs:]], axis=0)
+        wx, wh, bx, bh = reorder(wx), reorder(wh), reorder(bx), reorder(bh)
+    else:
+        wx, wh = sd[f"{prefix}.weight_ih_l0"], sd[f"{prefix}.weight_hh_l0"]
+        bx, bh = sd[f"{prefix}.bias_ih_l0"], sd[f"{prefix}.bias_hh_l0"]
+    return {"wx": wx.T, "wh": wh.T, "bx": bx, "bh": bh}
+
+
+@pytest.mark.parametrize("gru_type", ["AGRU", "AUGRU", "AIGRU"])
+def test_dien_forward_parity(ctr_corpus, gru_type):
+    """DIEN: extractor GRU + target attention + evolving AGRU/AUGRU/AIGRU
+    + FCN (reference DIEN.py:108-171). The reference's target_attention
+    softmaxes dim=-2 -- the flattened BATCH axis of a [B*C, H] tensor
+    (DIEN.py:122), a latent bug vs the paper/FuxiCTR that our model fixes
+    (masked softmax over the history axis); the test monkeypatches the
+    paper-correct attention onto the torch model and then requires exact
+    parity, which pins the GRU ports, the (u,r,n)->(r,z,n) gate mapping,
+    and the FCN input assembly."""
+    from models.context_seq.DIEN import DIENTopK as TorchDIEN
+
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    rargs = ref_args(evolving_gru_type=gru_type, fcn_hidden_layers="[24]",
+                     fcn_activations="ReLU", aux_hidden_layers="[16]",
+                     aux_activations="ReLU", alpha_aux=0,
+                     add_historical_situations=0, history_max=5)
+    ref = TorchDIEN(rargs, corpus).eval()
+
+    def fixed_attention(self, target_emb, interest_emb, lengths):
+        bsz = interest_emb.shape[0]
+        proj = torch.bmm(interest_emb, self.attentionW.unsqueeze(0).repeat(bsz, 1, 1))
+        prod = (proj * target_emb.unsqueeze(1)).sum(-1)  # [B*C, H]
+        mask = torch.arange(prod.shape[1])[None, :] < lengths[:, None]
+        return prod.masked_fill(~mask, -1e9).softmax(dim=-1)
+
+    ref.target_attention = types.MethodType(fixed_attention, ref)
+
+    args = argparse.Namespace(emb_size=16, evolving_gru_type=gru_type,
+                              fcn_hidden_layers="[24]", fcn_activations="ReLU",
+                              aux_hidden_layers="[16]", aux_activations="ReLU",
+                              alpha_aux=0.0, add_historical_situations=0,
+                              history_max=5, loss_n="BPR", dropout=0.0,
+                              test_all=0, num_neg=1, model_path="", buffer=1)
+    model = get_model("DIENTopK").from_args(args, corpus)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    from rechorus_tpu.data.context import build_schema
+    params = {**_port_group_tables(ref, corpus, build_schema(corpus)),
+              "gru": _port_gru(sd, "gru"),
+              "attentionW": sd["attentionW"],
+              "evolving_gru": _port_attentional_gru(sd, "evolving_gru",
+                                                    cell=gru_type != "AIGRU"),
+              "fcn_net": _port_mlp_block(sd, "fcn_net", [0, 2])}
+
+    rng = np.random.default_rng(21)
+    B, C, H = 6, 3, 5
+    n_users, n_items = corpus.n_users, corpus.n_items
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
+    hist = np.zeros((B, H), dtype=np.int32)
+    for b in range(B):
+        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
+    hours = rng.integers(0, 24, size=B).astype(np.int32)
+
+    def ifeat(ids, c):
+        flat = np.asarray([corpus.item_features[i][c] if i > 0 else 0 for i in ids.ravel()])
+        return flat.reshape(ids.shape)
+
+    tf = {"user_id": t(users), "item_id": t(items), "lengths": t(lengths),
+          "history_item_id": t(hist), "c_hour_c": t(hours), "phase": "test"}
+    for c in corpus.user_feature_names:
+        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
+    for c in corpus.item_feature_names:
+        tf[c] = t(ifeat(items, c))
+        tf["history_" + c] = t(ifeat(hist, c))
+    with torch.no_grad():
+        ref_out = ref(tf)
+
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths),
+            "situ_cat": jnp.asarray(hours[:, None]),
+            "situ_float": jnp.zeros((B, 0), jnp.float32)}
+    out = _apply_ported(model, params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=2e-5)
+
+
+def _ctxseq_feed_pair(corpus, seed, B=6, C=3, H=8, full_lengths=False):
+    """Aligned context-seq feeds for both frameworks."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    n_users, n_items = corpus.n_users, corpus.n_items
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    if full_lengths:
+        lengths = np.full(B, H, np.int32)
+    else:
+        lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
+    hist = np.zeros((B, H), dtype=np.int32)
+    for b in range(B):
+        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
+    hours = rng.integers(0, 24, size=B).astype(np.int32)
+
+    def ifeat(ids, c):
+        flat = np.asarray([corpus.item_features[i][c] if i > 0 else 0 for i in ids.ravel()])
+        return flat.reshape(ids.shape)
+
+    tf = {"user_id": t(users), "item_id": t(items), "lengths": t(lengths),
+          "history_item_id": t(hist), "c_hour_c": t(hours), "phase": "test"}
+    for c in corpus.user_feature_names:
+        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
+    for c in corpus.item_feature_names:
+        tf[c] = t(ifeat(items, c))
+        tf["history_" + c] = t(ifeat(hist, c))
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths),
+            "situ_cat": jnp.asarray(hours[:, None]),
+            "situ_float": jnp.zeros((B, 0), jnp.float32)}
+    return tf, feed, lengths
+
+
+def _port_mhta(sd, prefix):
+    return {n: {"kernel": sd[f"{prefix}.{n}.weight"].T}
+            for n in ("W_q", "W_k", "W_v", "W_o")}
+
+
+def test_eta_forward_parity(ctr_corpus):
+    """ETA: short-window target attention + SimHash top-k retrieval over
+    the long window (reference ETA.py:165-278). All lengths == H so the
+    reference's reversed-arange masks coincide with our recency masks on
+    left-aligned sequences (documented deviation, eta.py:9-13), and
+    retrieval_k == H so the retrieved SET is identical regardless of
+    torch.topk vs lax.top_k tie-breaking (attention is order-invariant)."""
+    from models.context_seq.ETA import ETATopK as TorchETA
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    H = 8
+    torch.manual_seed(0)
+    rargs = ref_args(dnn_hidden_units="[24]", dnn_activations="ReLU",
+                     net_dropout=0.0, batch_norm=0, attention_dim=16,
+                     num_heads=2, use_scale=1, attention_dropout=0.0,
+                     use_qkvo=1, retrieval_k=H, reuse_hash=1, num_hashes=2,
+                     hash_bits=8, short_target_field='["item_id"]',
+                     short_sequence_field='["history_item_id"]',
+                     long_target_field='["item_id"]',
+                     long_sequence_field='["history_item_id"]',
+                     recent_k=3, add_historical_situations=0, history_max=H)
+    ref = TorchETA(rargs, corpus).eval()
+
+    args = argparse.Namespace(emb_size=16, dnn_hidden_units="[24]",
+                              dnn_activations="ReLU", net_dropout=0.0,
+                              batch_norm=0, attention_dim=16, num_heads=2,
+                              use_scale=1, attention_dropout=0.0, use_qkvo=1,
+                              retrieval_k=H, reuse_hash=1, num_hashes=2,
+                              hash_bits=8, short_target_field='["item_id"]',
+                              short_sequence_field='["history_item_id"]',
+                              long_target_field='["item_id"]',
+                              long_sequence_field='["history_item_id"]',
+                              recent_k=3, add_historical_situations=0,
+                              history_max=H, loss_n="BPR", dropout=0.0,
+                              test_all=0, num_neg=1, model_path="", buffer=1)
+    model = get_model("ETATopK").from_args(args, corpus)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {**_port_group_tables(ref, corpus, build_schema(corpus)),
+              "short_attention_0": _port_mhta(sd, "short_attention.0"),
+              "long_attention_0": _port_mhta(sd, "long_attention.0"),
+              "dnn": _port_mlp_block(sd, "dnn", [0, 2])}
+    consts = {"random_rotations_0": sd["random_rotations.0"]}
+
+    tf, feed, _ = _ctxseq_feed_pair(corpus, 23, H=H, full_lengths=True)
+    with torch.no_grad():
+        ref_out = ref(tf)
+
+    import jax
+
+    variables = model.init({"params": jax.random.key(0)}, feed, training=False)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    extra["constants"] = {**extra.get("constants", {}), **consts}
+    out = model.apply({"params": params, **extra}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_sdim_forward_parity(ctr_corpus):
+    """SDIM: short target attention + LSH bucket-collision pooling over
+    the long window (reference SDIM.py:79-130). The reference's collision
+    sum runs over the FULL history (pads and the short window included,
+    no mask, SDIM.py:114-131); ours applies the long mask -- the paper's
+    sampling-from-long-term-history semantics -- so the test monkeypatches
+    a masked (einsum) collision pooling onto the torch model; the hash
+    functions, rotations and all weights stay the reference's."""
+    from models.context_seq.SDIM import SDIMTopK as TorchSDIM
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    H = 8
+    torch.manual_seed(0)
+    rargs = ref_args(dnn_hidden_units="[24]", dnn_activations="ReLU",
+                     net_dropout=0.0, batch_norm=0, attention_dim=16,
+                     num_heads=2, use_scale=1, attention_dropout=0.0,
+                     use_qkvo=1, retrieval_k=5, reuse_hash=1, num_hashes=2,
+                     hash_bits=4, short_target_field='["item_id"]',
+                     short_sequence_field='["history_item_id"]',
+                     long_target_field='["item_id"]',
+                     long_sequence_field='["history_item_id"]',
+                     recent_k=3, add_historical_situations=0, history_max=H)
+    ref = TorchSDIM(rargs, corpus).eval()
+
+    def masked_long(self, fed, mask, feats):
+        for idx, (tfld, sfld) in enumerate(zip(self.long_target_field,
+                                               self.long_sequence_field)):
+            te_ = self.concat_embedding(tfld, fed)
+            se_ = self.concat_embedding(sfld, fed)
+            tflat = te_.view(-1, te_.size(-1))
+            sflat = se_.unsqueeze(1).repeat(1, te_.size(1), 1, 1).view(
+                -1, se_.size(1), se_.size(2))
+            mflat = mask.unsqueeze(1).repeat(1, te_.size(1), 1).view(-1, sflat.size(1))
+            bs = self.lsh_hash(sflat, self.random_rotations[idx])
+            bq = self.lsh_hash(tflat.unsqueeze(1), self.random_rotations[idx])
+            collide = ((bq - bs) == 0) & mflat[:, :, None].bool()
+            out = torch.einsum("bhn,bhd->bnd", collide.float(), sflat).mean(1)
+            feats.append(out.view(te_.shape))
+        return feats
+
+    ref.long_interest_attention = types.MethodType(masked_long, ref)
+
+    args = argparse.Namespace(emb_size=16, dnn_hidden_units="[24]",
+                              dnn_activations="ReLU", net_dropout=0.0,
+                              batch_norm=0, attention_dim=16, num_heads=2,
+                              use_scale=1, attention_dropout=0.0, use_qkvo=1,
+                              retrieval_k=5, reuse_hash=1, num_hashes=2,
+                              hash_bits=4, short_target_field='["item_id"]',
+                              short_sequence_field='["history_item_id"]',
+                              long_target_field='["item_id"]',
+                              long_sequence_field='["history_item_id"]',
+                              recent_k=3, add_historical_situations=0,
+                              history_max=H, loss_n="BPR", dropout=0.0,
+                              test_all=0, num_neg=1, model_path="", buffer=1)
+    model = get_model("SDIMTopK").from_args(args, corpus)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {**_port_group_tables(ref, corpus, build_schema(corpus)),
+              "short_attention_0": _port_mhta(sd, "short_attention.0"),
+              "dnn": _port_mlp_block(sd, "dnn", [0, 2])}
+    consts = {"random_rotations_0": sd["random_rotations.0"]}
+
+    tf, feed, _ = _ctxseq_feed_pair(corpus, 24, H=H, full_lengths=True)
+    with torch.no_grad():
+        ref_out = ref(tf)
+
+    import jax
+
+    variables = model.init({"params": jax.random.key(0)}, feed, training=False)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    extra["constants"] = {**extra.get("constants", {}), **consts}
+    out = model.apply({"params": params, **extra}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_can_forward_parity(ctr_corpus):
+    """CAN: the target item's induce embedding reshaped into per-item
+    micro-MLP weights applied to user / situation / history embeddings
+    (tanh, masked mean over history), concatenated with the DIEN input
+    (reference CAN.py:55-140). Same patched target attention as the DIEN
+    test (reference softmaxes over the batch axis, documented deviation)."""
+    from models.context_seq.CAN import CANTopK as TorchCAN
+
+    from rechorus_tpu.data.context import build_schema
+    from rechorus_tpu.registry import get_model
+
+    corpus = ctr_corpus
+    torch.manual_seed(0)
+    rargs = ref_args(evolving_gru_type="AGRU", fcn_hidden_layers="[24]",
+                     fcn_activations="ReLU", aux_hidden_layers="[16]",
+                     aux_activations="ReLU", alpha_aux=0,
+                     add_historical_situations=0, history_max=5,
+                     induce_vec_size=96, orders=1, co_action_layers="[4,4]")
+    ref = TorchCAN(rargs, corpus).eval()
+
+    def fixed_attention(self, target_emb, interest_emb, lengths):
+        bsz = interest_emb.shape[0]
+        proj = torch.bmm(interest_emb, self.attentionW.unsqueeze(0).repeat(bsz, 1, 1))
+        prod = (proj * target_emb.unsqueeze(1)).sum(-1)
+        mask = torch.arange(prod.shape[1])[None, :] < lengths[:, None]
+        return prod.masked_fill(~mask, -1e9).softmax(dim=-1)
+
+    ref.target_attention = types.MethodType(fixed_attention, ref)
+
+    args = argparse.Namespace(emb_size=16, evolving_gru_type="AGRU",
+                              fcn_hidden_layers="[24]", fcn_activations="ReLU",
+                              aux_hidden_layers="[16]", aux_activations="ReLU",
+                              alpha_aux=0.0, add_historical_situations=0,
+                              induce_vec_size=96, orders=1, co_action_layers="[4,4]",
+                              history_max=5, loss_n="BPR", dropout=0.0,
+                              test_all=0, num_neg=1, model_path="", buffer=1)
+    model = get_model("CANTopK").from_args(args, corpus)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {**_port_group_tables(ref, corpus, build_schema(corpus)),
+              "gru": _port_gru(sd, "gru"),
+              "attentionW": sd["attentionW"],
+              "evolving_gru": _port_attentional_gru(sd, "evolving_gru", cell=True),
+              "item_embedding_induce": {"embedding": sd["item_embedding_induce.weight"]},
+              "fcn_net": _port_mlp_block(sd, "fcn_net", [0, 2])}
+
+    rng = np.random.default_rng(22)
+    B, C, H = 6, 3, 5
+    n_users, n_items = corpus.n_users, corpus.n_items
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
+    hist = np.zeros((B, H), dtype=np.int32)
+    for b in range(B):
+        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
+    hours = rng.integers(0, 24, size=B).astype(np.int32)
+
+    def ifeat(ids, c):
+        flat = np.asarray([corpus.item_features[i][c] if i > 0 else 0 for i in ids.ravel()])
+        return flat.reshape(ids.shape)
+
+    tf = {"user_id": t(users), "item_id": t(items), "lengths": t(lengths),
+          "history_item_id": t(hist), "c_hour_c": t(hours), "phase": "test"}
+    for c in corpus.user_feature_names:
+        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
+    for c in corpus.item_feature_names:
+        tf[c] = t(ifeat(items, c))
+        tf["history_" + c] = t(ifeat(hist, c))
+    with torch.no_grad():
+        ref_out = ref(tf)
+
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths),
+            "situ_cat": jnp.asarray(hours[:, None]),
+            "situ_float": jnp.zeros((B, 0), jnp.float32)}
+    out = _apply_ported(model, params, feed)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=2e-5)

@@ -73,7 +73,8 @@ class S3Rec(SequentialModel):
     def __call__(self, feed, training: bool = False):
         i_emb = embed(self.item_num + 1, self.emb_size, "i_embeddings")
         encoder = BERT4RecEncoder(self.emb_size, self.history_max, num_layers=2,
-                                  num_heads=2, name="encoder")
+                                  num_heads=2, input_ln=True, dropout=0.2,
+                                  name="encoder")
         if "mask_seq" in feed:  # stage-1 pretrain batch
             mip_norm = dense(self.emb_size, name="mip_norm")
             sp_norm = dense(self.emb_size, name="sp_norm")

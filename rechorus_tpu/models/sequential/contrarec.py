@@ -36,6 +36,10 @@ class BERT4RecEncoder(nn.Module):
     max_his: int
     num_layers: int = 2
     num_heads: int = 2
+    # S3Rec's encoder variant LayerNorms + drops the position-added input
+    # (reference S3Rec.py:186-205); ContraRec/CLRec's does not
+    input_ln: bool = False
+    dropout: float = 0.0
 
     def setup(self):
         self.p_embeddings = embed(self.max_his + 1, self.emb_size, "p_embeddings")
@@ -44,6 +48,9 @@ class BERT4RecEncoder(nn.Module):
                              n_heads=self.num_heads, name=f"trm_{k}")
             for k in range(self.num_layers)
         ]
+        if self.input_ln:
+            self.layer_norm = nn.LayerNorm(epsilon=1e-5, name="layer_norm")
+            self.input_drop = nn.Dropout(self.dropout)
 
     def encode_all(self, seq, lengths, training: bool = False):
         B, L, _ = seq.shape
@@ -51,6 +58,8 @@ class BERT4RecEncoder(nn.Module):
         valid = len_range[None, :] < lengths[:, None]
         position = len_range[None, :] * valid.astype(jnp.int32)
         seq = seq + self.p_embeddings(position)
+        if self.input_ln:
+            seq = self.input_drop(self.layer_norm(seq), deterministic=not training)
         attn_mask = valid[:, None, None, :]
         for block in self.blocks:
             seq = block(seq, mask=attn_mask, training=training)

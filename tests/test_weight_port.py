@@ -820,6 +820,178 @@ def test_slrcplus_forward_parity():
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
 
 
+# --------------------------------------------------------------------- #
+def test_bprmf_forward_parity():
+    """BPRMF: u.i dot product (reference BPRMF.py:33-45)."""
+    from models.general.BPRMF import BPRMF as TorchBPRMF
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items = 30, 50
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchBPRMF(ref_args(), corpus).eval()
+
+    model = get_model("BPRMF")(user_num=n_users, item_num=n_items, emb_size=16, dropout=0.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"u_embeddings": {"embedding": sd["u_embeddings.weight"]},
+              "i_embeddings": {"embedding": sd["i_embeddings.weight"]}}
+
+    rng = np.random.default_rng(30)
+    B, C = 6, 4
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items), "batch_size": B})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_neumf_forward_parity():
+    """NeuMF: GMF element-product + MLP towers -> linear head
+    (reference NeuMF.py:42-77)."""
+    from models.general.NeuMF import NeuMF as TorchNeuMF
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items = 30, 50
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchNeuMF(ref_args(layers="[24,12]"), corpus).eval()
+
+    model = get_model("NeuMF")(user_num=n_users, item_num=n_items, emb_size=16,
+                               layers=(24, 12), dropout=0.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {name: {"embedding": sd[f"{name}.weight"]}
+              for name in ("mf_u_embeddings", "mf_i_embeddings",
+                           "mlp_u_embeddings", "mlp_i_embeddings")}
+    for k in range(2):
+        params[f"mlp_{k}"] = {"kernel": sd[f"mlp.{k}.weight"].T, "bias": sd[f"mlp.{k}.bias"]}
+    params["prediction"] = {"kernel": sd["prediction.weight"].T}
+
+    rng = np.random.default_rng(31)
+    B, C = 6, 4
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items), "batch_size": B})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_directau_forward_parity():
+    """DirectAU: dot-product scoring (alignment/uniformity live in the
+    loss; reference DirectAU.py:64-80)."""
+    from models.general.DirectAU import DirectAU as TorchDirectAU
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items = 30, 50
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchDirectAU(ref_args(gamma=1.0), corpus).eval()
+
+    model = get_model("DirectAU")(user_num=n_users, item_num=n_items, emb_size=16,
+                                  gamma=1.0, dropout=0.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"u_embeddings": {"embedding": sd["u_embeddings.weight"]},
+              "i_embeddings": {"embedding": sd["i_embeddings.weight"]}}
+
+    rng = np.random.default_rng(32)
+    B, C = 6, 4
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items),
+                       "batch_size": B, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_buir_forward_parity():
+    """BUIR inference: symmetric predictor-crossed online scoring
+    (reference BUIR.py:73-78)."""
+    from models.general.BUIR import BUIR as TorchBUIR
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items = 30, 50
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchBUIR(ref_args(momentum=0.995), corpus).eval()
+
+    model = get_model("BUIR")(user_num=n_users, item_num=n_items, emb_size=16,
+                              momentum=0.995, dropout=0.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"user_online": {"embedding": sd["user_online.weight"]},
+              "item_online": {"embedding": sd["item_online.weight"]},
+              "predictor": {"kernel": sd["predictor.weight"].T,
+                            "bias": sd["predictor.bias"]}}
+
+    rng = np.random.default_rng(33)
+    B, C = 6, 4
+    users = rng.integers(1, n_users, size=B).astype(np.int32)
+    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
+    with torch.no_grad():
+        ref_out = ref({"user_id": t(users), "item_id": t(items),
+                       "batch_size": B, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_cfkg_forward_parity():
+    """CFKG: TransE scoring over the joint [users | entities] table
+    (reference CFKG.py:51-69)."""
+    from models.general.CFKG import CFKG as TorchCFKG
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, n_ent, n_rel = 30, 50, 70, 4
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items,
+                                   n_entities=n_ent, n_relations=n_rel)
+    torch.manual_seed(0)
+    ref = TorchCFKG(ref_args(margin=0.0), corpus).eval()
+
+    model = get_model("CFKG")(user_num=n_users, item_num=n_items, emb_size=16,
+                              entity_num=n_ent, relation_num=n_rel, margin=0.0,
+                              dropout=0.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"e_embeddings": {"embedding": sd["e_embeddings.weight"]},
+              "r_embeddings": {"embedding": sd["r_embeddings.weight"]}}
+
+    rng = np.random.default_rng(34)
+    B, C = 6, 4
+    heads = rng.integers(0, n_users + n_ent, size=(B, C)).astype(np.int32)
+    tails = rng.integers(0, n_users + n_ent, size=(B, C)).astype(np.int32)
+    rels = rng.integers(0, n_rel, size=(B, C)).astype(np.int32)
+    with torch.no_grad():
+        ref_out = ref({"head_id": t(heads), "tail_id": t(tails),
+                       "relation_id": t(rels), "batch_size": B})
+    import jax.numpy as jnp
+
+    feed = {"head_id": jnp.asarray(heads), "tail_id": jnp.asarray(tails),
+            "relation_id": jnp.asarray(rels)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-4)
+
+
 def _port_trm(sd, prefix):
     """torch TransformerLayer (layers.py:92-118) -> our TransformerLayer."""
     return {
@@ -1836,3 +2008,440 @@ def test_can_forward_parity(ctr_corpus):
     out = _apply_ported(model, params, feed)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=2e-5)
+
+
+# --------------------------------------------------------------------- #
+def test_srgnn_forward_parity():
+    """SRGNN: per-row session graph (unique nodes, degree-normalized
+    in/out adjacency) + gated GNN + soft attention readout (reference
+    SRGNN.py:43-101). Row 0 of the torch table is zeroed first: the
+    reference's post-init uniform_ loop overwrites nn.Embedding's zeroed
+    padding row (SRGNN.py:30-32 vs padding_idx=0 at :36), so its pads
+    embed to a random frozen vector; our model enforces the declared
+    padding_idx=0 semantics (srgnn.py:122)."""
+    from models.developing.SRGNN import SRGNN as TorchSRGNN
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H = 30, 50, 8
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchSRGNN(ref_args(num_layers=1), corpus).eval()
+    with torch.no_grad():
+        ref.i_embeddings.weight[0] = 0.0
+
+    model = get_model("SRGNN")(user_num=n_users, item_num=n_items, emb_size=16,
+                               num_layers=1, dropout=0.0, history_max=H)
+    import jax.numpy as _jnp
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "i_embeddings": _jnp.asarray(sd["i_embeddings.weight"]),
+        "gnn": {"w_ih": sd["gnn.w_ih"].T, "w_hh": sd["gnn.w_hh"].T,
+                "b_ih": sd["gnn.b_ih"], "b_hh": sd["gnn.b_hh"],
+                "b_iah": sd["gnn.b_iah"], "b_ioh": sd["gnn.b_ioh"],
+                "linear_edge_in": {"kernel": sd["gnn.linear_edge_in.weight"].T,
+                                   "bias": sd["gnn.linear_edge_in.bias"]},
+                "linear_edge_out": {"kernel": sd["gnn.linear_edge_out.weight"].T,
+                                    "bias": sd["gnn.linear_edge_out.bias"]}},
+        "linear1": {"kernel": sd["linear1.weight"].T, "bias": sd["linear1.bias"]},
+        "linear2": {"kernel": sd["linear2.weight"].T, "bias": sd["linear2.bias"]},
+        "linear3": {"kernel": sd["linear3.weight"].T},
+        "linear_transform": {"kernel": sd["linear_transform.weight"].T,
+                             "bias": sd["linear_transform.bias"]},
+    }
+
+    rng = np.random.default_rng(35)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users),
+                       "batch_size": 6, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["CLRec", "S3Rec"])
+def test_bert4rec_backbone_forward_parity(name):
+    """CLRec / S3Rec inference: both score dot(BERT4Rec(history), item)
+    (reference CLRec.py:38-58, S3Rec.py:94-103); their training-time
+    losses (contrastive / MIP+SP) are exercised elsewhere."""
+    if name == "CLRec":
+        from models.developing.CLRec import CLRec as TorchModel
+    else:
+        from models.developing.S3Rec import S3Rec as TorchModel
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H = 30, 50, 8
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items, dataset="Synth")
+    torch.manual_seed(0)
+    extra = dict(temp=0.2) if name == "CLRec" else dict(
+        mip_weight=0.2, sp_weight=0.5, mask_ratio=0.2, stage=0)
+    ref = TorchModel(ref_args(**extra), corpus).eval()
+
+    kwargs = dict(user_num=n_users, item_num=n_items, emb_size=16,
+                  dropout=0.0, history_max=H)
+    if name == "S3Rec":
+        kwargs.update(stage=0)
+    model = get_model(name)(**kwargs)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "encoder": {
+            "p_embeddings": {"embedding": sd["encoder.p_embeddings.weight"]},
+            "trm_0": _port_trm(sd, "encoder.transformer_block.0"),
+            "trm_1": _port_trm(sd, "encoder.transformer_block.1"),
+        },
+    }
+    if name == "S3Rec":  # input LayerNorm variant (S3Rec.py:193,205)
+        params["encoder"]["layer_norm"] = {"scale": sd["encoder.layer_norm.weight"],
+                                           "bias": sd["encoder.layer_norm.bias"]}
+
+    rng = np.random.default_rng(36)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "lengths": t(lengths), "user_id": t(users),
+                       "batch_size": 6, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def test_fourierta_forward_parity():
+    """FourierTA: MLP target attention scaled by a learnable inverse-DFT
+    temporal decay + FFN/LayerNorm residual (reference
+    FourierTA.py:44-120)."""
+    from models.developing.FourierTA import FourierTA as TorchFourierTA
+
+    from rechorus_tpu.registry import get_model
+
+    n_users, n_items, H, d = 30, 50, 8, 16
+    corpus = types.SimpleNamespace(n_users=n_users, n_items=n_items)
+    torch.manual_seed(0)
+    ref = TorchFourierTA(ref_args(t_scalar=60), corpus).eval()
+
+    model = get_model("FourierTA")(user_num=n_users, item_num=n_items, emb_size=d,
+                                   t_scalar=60, dropout=0.0, history_max=H)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "user_embeddings": sd["user_embeddings.weight"],
+        "item_embeddings": sd["item_embeddings.weight"],
+        "item_bias": sd["item_bias.weight"],
+        "freq_real": sd["fourier_attn.freq_real"],
+        "freq_imag": sd["fourier_attn.freq_imag"],
+        "A": {"kernel": sd["fourier_attn.A.weight"].T, "bias": sd["fourier_attn.A.bias"]},
+        "A_out": {"kernel": sd["fourier_attn.A_out.weight"].T},
+        "W1": {"kernel": sd["W1.weight"].T, "bias": sd["W1.bias"]},
+        "W2": {"kernel": sd["W2.weight"].T, "bias": sd["W2.bias"]},
+        "layer_norm": {"scale": sd["layer_norm.weight"], "bias": sd["layer_norm.bias"]},
+    }
+
+    rng = np.random.default_rng(37)
+    users, items, hist, lengths = _seq_feed(rng, n_users, n_items, H)
+    delta_t = rng.uniform(0.0, 4.0, size=(6, H)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "history_delta_t": t(delta_t), "lengths": t(lengths),
+                       "user_id": t(users), "batch_size": 6, "phase": "test"})
+    import jax.numpy as jnp
+
+    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
+            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths),
+            "history_delta_t": jnp.asarray(delta_t)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+def _rerank_attrs():
+    return dict(item_num=50, train_max_pos_item=2, train_max_neg_item=6,
+                ranker_emb_size=8)
+
+
+def _rerank_feed(rng, B=4, L=8, ranker_d=8):
+    """Shared reranker feed: candidate ids, frozen-ranker u_v/i_v vectors,
+    score-rank positions, padding mask (True = pad)."""
+    items = rng.integers(1, 50, size=(B, L)).astype(np.int32)
+    u_v = rng.normal(size=(B, L, ranker_d)).astype(np.float32)
+    i_v = rng.normal(size=(B, L, ranker_d)).astype(np.float32)
+    position = np.tile(np.arange(L, dtype=np.int32), (B, 1))
+    pad = np.zeros((B, L), bool)
+    pad[0, -2:] = True
+    pad[2, -1:] = True
+    return items, u_v, i_v, position, pad
+
+
+def _port_torch_tel(sd, prefix):
+    """torch nn.TransformerEncoderLayer -> our TransformerLayer(out_proj)."""
+    w = sd[f"{prefix}.self_attn.in_proj_weight"]
+    b = sd[f"{prefix}.self_attn.in_proj_bias"]
+    D = w.shape[1]
+    return {
+        "mha": {
+            "q": {"kernel": w[:D].T, "bias": b[:D]},
+            "k": {"kernel": w[D:2 * D].T, "bias": b[D:2 * D]},
+            "v": {"kernel": w[2 * D:].T, "bias": b[2 * D:]},
+            "out_proj": {"kernel": sd[f"{prefix}.self_attn.out_proj.weight"].T,
+                         "bias": sd[f"{prefix}.self_attn.out_proj.bias"]},
+        },
+        "ln1": {"scale": sd[f"{prefix}.norm1.weight"], "bias": sd[f"{prefix}.norm1.bias"]},
+        "ff1": {"kernel": sd[f"{prefix}.linear1.weight"].T, "bias": sd[f"{prefix}.linear1.bias"]},
+        "ff2": {"kernel": sd[f"{prefix}.linear2.weight"].T, "bias": sd[f"{prefix}.linear2.bias"]},
+        "ln2": {"scale": sd[f"{prefix}.norm2.weight"], "bias": sd[f"{prefix}.norm2.bias"]},
+    }
+
+
+def test_prm_forward_parity():
+    """PRM: [item emb | ranker u_v | ranker i_v] + ordinal position emb ->
+    transformer encoder stack with key-padding mask -> linear head
+    (reference PRM.py:29-101). The torch side instantiates PRMBase through
+    a shim module (the real RerankModel.__init__ loads a ranker checkpoint
+    from disk, orthogonal to the forward being pinned here)."""
+    from models.BaseModel import BaseModel as TorchBaseModel
+    from models.reranker.PRM import PRMBase as TorchPRMBase
+
+    from rechorus_tpu.registry import get_model
+
+    class RefPRM(torch.nn.Module, TorchPRMBase):
+        init_weights = staticmethod(TorchBaseModel.init_weights)
+
+        def __init__(self, rargs):
+            torch.nn.Module.__init__(self)
+            self.__dict__.update(_rerank_attrs())
+            self._base_init(rargs, None)
+
+        def forward(self, fd):
+            return TorchPRMBase.forward(self, fd)
+
+    torch.manual_seed(0)
+    rargs = ref_args(n_blocks=2, num_heads=2, num_hidden_unit=16)
+    ref = RefPRM(rargs).eval()
+
+    attrs = {k: v for k, v in _rerank_attrs().items() if k != "item_num"}
+    model = get_model("PRMGeneral")(
+        user_num=30, item_num=50, emb_size=16, n_blocks=2, num_heads=2,
+        num_hidden_unit=16, dropout=0.0, **attrs)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "ordinal_position_embedding": {
+            "embedding": sd["ordinal_position_embedding.weight"]},
+        "rFF0": {"kernel": sd["rFF0.weight"].T, "bias": sd["rFF0.bias"]},
+        "rFF1": {"kernel": sd["rFF1.weight"].T, "bias": sd["rFF1.bias"]},
+    }
+    for k in range(2):
+        params[f"encoder_{k}"] = _port_torch_tel(sd, f"encoder.{k}")
+
+    rng = np.random.default_rng(38)
+    items, u_v, i_v, position, pad = _rerank_feed(rng)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "u_v": t(u_v), "i_v": t(i_v),
+                       "position": t(position),
+                       "padding_mask": torch.from_numpy(pad)})
+    import jax.numpy as jnp
+
+    feed = {"item_id": jnp.asarray(items), "u_v": jnp.asarray(u_v),
+            "i_v": jnp.asarray(i_v), "position": jnp.asarray(position),
+            "padding_mask": jnp.asarray(pad)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def _port_torch_mab(sd, prefix):
+    """torch MAB (SetRank.py:29-56) -> our MAB submodule params."""
+    w = sd[f"{prefix}.attn.in_proj_weight"]
+    b = sd[f"{prefix}.attn.in_proj_bias"]
+    D = w.shape[1]
+    return {
+        "attn": {
+            "q": {"kernel": w[:D].T, "bias": b[:D]},
+            "k": {"kernel": w[D:2 * D].T, "bias": b[D:2 * D]},
+            "v": {"kernel": w[2 * D:].T, "bias": b[2 * D:]},
+            "out_proj": {"kernel": sd[f"{prefix}.attn.out_proj.weight"].T,
+                         "bias": sd[f"{prefix}.attn.out_proj.bias"]},
+        },
+        "norm1": {"scale": sd[f"{prefix}.norm1.weight"], "bias": sd[f"{prefix}.norm1.bias"]},
+        "linear1": {"kernel": sd[f"{prefix}.linear1.weight"].T, "bias": sd[f"{prefix}.linear1.bias"]},
+        "linear2": {"kernel": sd[f"{prefix}.linear2.weight"].T, "bias": sd[f"{prefix}.linear2.bias"]},
+        "norm2": {"scale": sd[f"{prefix}.norm2.weight"], "bias": sd[f"{prefix}.norm2.bias"]},
+    }
+
+
+@pytest.mark.parametrize("setrank_type", ["MSAB", "IMSAB"])
+def test_setrank_forward_parity(setrank_type):
+    """SetRank: multihead set-attention blocks (MSAB) / induced set
+    attention with 20 inducing points (IMSAB), position embedding added
+    AFTER rFF0 (reference SetRank.py:57-156)."""
+    from models.BaseModel import BaseModel as TorchBaseModel
+    from models.reranker.SetRank import SetRankBase as TorchSetRankBase
+
+    from rechorus_tpu.registry import get_model
+
+    class RefSetRank(torch.nn.Module, TorchSetRankBase):
+        init_weights = staticmethod(TorchBaseModel.init_weights)
+
+        def __init__(self, rargs):
+            torch.nn.Module.__init__(self)
+            self.__dict__.update(_rerank_attrs())
+            self._base_init(rargs, None)
+
+        def forward(self, fd):
+            return TorchSetRankBase.forward(self, fd)
+
+    torch.manual_seed(0)
+    rargs = ref_args(n_blocks=2, num_heads=2, num_hidden_unit=16,
+                     setrank_type=setrank_type)
+    ref = RefSetRank(rargs).eval()
+
+    attrs = {k: v for k, v in _rerank_attrs().items() if k != "item_num"}
+    model = get_model("SetRankGeneral")(
+        user_num=30, item_num=50, emb_size=16, n_blocks=2, num_heads=2,
+        num_hidden_unit=16, setrank_type=setrank_type, dropout=0.0, **attrs)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "ordinal_position_embedding": {
+            "embedding": sd["ordinal_position_embedding.weight"]},
+        "rFF0": {"kernel": sd["rFF0.weight"].T, "bias": sd["rFF0.bias"]},
+        "rFF1": {"kernel": sd["rFF1.weight"].T, "bias": sd["rFF1.bias"]},
+    }
+    for k in range(2):
+        if setrank_type == "MSAB":
+            params[f"msab_{k}"] = _port_torch_mab(sd, f"encoder.{k}.MAB1")
+        else:
+            params[f"imsab_{k}_1"] = _port_torch_mab(sd, f"encoder.{k}.MAB1")
+            params[f"imsab_{k}_2"] = _port_torch_mab(sd, f"encoder.{k}.MAB2")
+            params[f"inducing_{k}"] = sd[f"encoder.{k}.I"]
+
+    rng = np.random.default_rng(39)
+    items, u_v, i_v, position, pad = _rerank_feed(rng)
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "u_v": t(u_v), "i_v": t(i_v),
+                       "position": t(position),
+                       "padding_mask": torch.from_numpy(pad)})
+    import jax.numpy as jnp
+
+    feed = {"item_id": jnp.asarray(items), "u_v": jnp.asarray(u_v),
+            "i_v": jnp.asarray(i_v), "position": jnp.asarray(position),
+            "padding_mask": jnp.asarray(pad)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)
+
+
+def _port_torch_lstm_dir(sd, prefix, suffix=""):
+    """One direction of a torch LSTM (packed gate rows i,f,g,o; separate
+    ih/hh biases) -> flax OptimizedLSTMCell (input kernels without bias,
+    recurrent kernels carrying b_ih + b_hh)."""
+    wi = sd[f"{prefix}.weight_ih_l0{suffix}"]
+    wh = sd[f"{prefix}.weight_hh_l0{suffix}"]
+    bi = sd[f"{prefix}.bias_ih_l0{suffix}"]
+    bh = sd[f"{prefix}.bias_hh_l0{suffix}"]
+    H = wh.shape[1]
+    out = {}
+    for j, g in enumerate("ifgo"):
+        out[f"i{g}"] = {"kernel": wi[j * H:(j + 1) * H].T}
+        out[f"h{g}"] = {"kernel": wh[j * H:(j + 1) * H].T,
+                        "bias": bi[j * H:(j + 1) * H] + bh[j * H:(j + 1) * H]}
+    return out
+
+
+def test_mir_forward_parity():
+    """MIR: intra-set MHA over candidates + intra-list BiLSTM over the
+    history + SLAttention set<->list co-attention with learned time decay
+    + 4-layer MLP head (reference MIR.py:18-181). Full-length histories:
+    the reference's unpacked LSTM also consumes pad positions while ours
+    stops at `lengths` (documented deviation)."""
+    from models.BaseModel import BaseModel as TorchBaseModel
+    from models.reranker.MIR import MIRBase as TorchMIRBase
+
+    from rechorus_tpu.registry import get_model
+
+    class RefMIR(torch.nn.Module, TorchMIRBase):
+        init_weights = staticmethod(TorchBaseModel.init_weights)
+
+        def __init__(self, rargs):
+            torch.nn.Module.__init__(self)
+            self.__dict__.update(_rerank_attrs() | {"ranker_emb_size": 16})
+            self._base_init(rargs, None)
+
+        def forward(self, fd):
+            return TorchMIRBase.forward(self, fd)
+
+    torch.manual_seed(0)
+    rargs = ref_args(num_heads=2, num_hidden_unit=12, batch_size=4,
+                     train_max_pos_item=2, train_max_neg_item=6)
+    ref = RefMIR(rargs).eval()
+
+    # the reference masks attn output with a 2*emb_size-wide mask
+    # (MIR.py:146-147) -- it implicitly requires ranker_emb_size == emb_size
+    attrs = {k: v for k, v in _rerank_attrs().items() if k != "item_num"}
+    attrs["ranker_emb_size"] = 16
+    model = get_model("MIRGeneral")(
+        user_num=30, item_num=50, emb_size=16, num_heads=2,
+        num_hidden_unit=12, dropout=0.0, **attrs)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    D_att = 16 + 16  # emb_size + ranker_emb_size
+    w = sd["intra_set.in_proj_weight"]
+    b = sd["intra_set.in_proj_bias"]
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "intra_set": {
+            "q": {"kernel": w[:D_att].T, "bias": b[:D_att]},
+            "k": {"kernel": w[D_att:2 * D_att].T, "bias": b[D_att:2 * D_att]},
+            "v": {"kernel": w[2 * D_att:].T, "bias": b[2 * D_att:]},
+            "out_proj": {"kernel": sd["intra_set.out_proj.weight"].T,
+                         "bias": sd["intra_set.out_proj.bias"]},
+        },
+        "intra_list": {
+            "OptimizedLSTMCell_0": _port_torch_lstm_dir(sd, "intra_list"),
+            "OptimizedLSTMCell_1": _port_torch_lstm_dir(sd, "intra_list", "_reverse"),
+        },
+        "SLAttention": {
+            "w_b": sd["SLAttention.w_b"][0],
+            "w_v": sd["SLAttention.w_v"],
+            "w_q": sd["SLAttention.w_q"],
+            "fc_decay1": {"kernel": sd["SLAttention.fc_decay1.weight"].T,
+                          "bias": sd["SLAttention.fc_decay1.bias"]},
+            "fc_decay2": {"kernel": sd["SLAttention.fc_decay2.weight"].T,
+                          "bias": sd["SLAttention.fc_decay2.bias"]},
+        },
+    }
+    for name in ("fc1", "fc2", "fc3", "fc4"):
+        params[name] = {"kernel": sd[f"{name}.weight"].T, "bias": sd[f"{name}.bias"]}
+
+    rng = np.random.default_rng(40)
+    B, L, H = 4, 8, 6
+    items, u_v, i_v, position, pad = _rerank_feed(rng, B=B, L=L, ranker_d=16)
+    hist = rng.integers(1, 50, size=(B, H)).astype(np.int32)
+    his_v = rng.normal(size=(B, H, 16)).astype(np.float32)
+    times = np.sort(rng.integers(1, 500, size=(B, H)), axis=1).astype(np.int64)
+    lengths = np.full(B, H, np.int32)
+
+    with torch.no_grad():
+        ref_out = ref({"item_id": t(items), "history_items": t(hist),
+                       "i_v": t(i_v), "his_v": t(his_v), "u_v": t(u_v),
+                       "history_times": t(times),
+                       "padding_mask": torch.from_numpy(pad)})
+    import jax.numpy as jnp
+
+    feed = {"item_id": jnp.asarray(items), "history_items": jnp.asarray(hist),
+            "i_v": jnp.asarray(i_v), "his_v": jnp.asarray(his_v),
+            "u_v": jnp.asarray(u_v), "history_times": jnp.asarray(times.astype(np.int32)),
+            "padding_mask": jnp.asarray(pad), "lengths": jnp.asarray(lengths)}
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=1e-5)

@@ -11,6 +11,14 @@ sp_weight * sum(BCE) (105-115). Stage 2 loads the pretrained weights
 
 TPU notes: the per-row masking/segment sampling (reference Dataset,
 117-183) runs on device in the 's3rec' batcher.
+
+Documented deviation: the MIP head scores each masked POSITION's encoder
+output against its pos/neg item (the S3Rec paper's masked-item objective).
+The reference instead broadcasts the sequence's FINAL hidden state over
+all positions (S3Rec.py:58-61 calls its encoder, which returns only the
+lengths-1 state) -- a latent bug that makes every position share one
+query. The inference branch (what the weight-port parity test pins) is
+identical in both.
 """
 from __future__ import annotations
 

@@ -235,8 +235,10 @@ class AttentionalGRU(nn.Module):
 
         wx = self.param("wx", u_init, (D, 3 * Hs))
         wh = self.param("wh", u_init, (Hs, 3 * Hs))
-        bx = self.param("bx", u_init, (3 * Hs,))
-        bh = self.param("bh", u_init, (3 * Hs,))
+        # names contain 'bias' so the optimizer's decay mask excludes them
+        # (reference groups on `'bias' in name`, BaseModel.py:63-72)
+        bx = self.param("bias_x", u_init, (3 * Hs,))
+        bh = self.param("bias_h", u_init, (3 * Hs,))
 
         if self.gru_type == "AIGRU":
             inputs = inputs * att_scores[:, :, None]

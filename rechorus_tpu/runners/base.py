@@ -46,10 +46,14 @@ class TrainState:
 
 
 def _decay_mask(params):
-    """L2 applies to every param except biases (name == 'bias' or 1-D),
-    matching reference customize_parameters (BaseModel.py:64-73)."""
+    """L2 applies to every param whose dotted path does NOT contain
+    'bias', matching reference customize_parameters (BaseModel.py:63-72:
+    `if 'bias' in name`) -- that rule also catches bias-named tables
+    (item_bias/user_bias embeddings, overall_bias, GRU bx/bh come from
+    torch `bias_ih_l0`-style names and are matched via 'bias' in the
+    path component)."""
     flat = flax.traverse_util.flatten_dict(params)
-    mask = {k: (k[-1] != "bias") for k in flat}
+    mask = {k: not any("bias" in str(part) for part in k) for k in flat}
     return flax.traverse_util.unflatten_dict(mask)
 
 

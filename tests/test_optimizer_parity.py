@@ -23,28 +23,35 @@ def _run_parity(l2, steps=5, lr=1e-2):
     rng = np.random.default_rng(0)
     w0 = rng.normal(size=(4, 3)).astype(np.float32)
     b0 = rng.normal(size=(3,)).astype(np.float32)
+    ib0 = rng.normal(size=(3,)).astype(np.float32)  # bias-NAMED table row
     x = rng.normal(size=(8, 4)).astype(np.float32)
     y = rng.normal(size=(8, 3)).astype(np.float32)
 
-    # torch side: reference grouping (weights decay, biases don't)
+    # torch side: reference grouping (`'bias' in name` -> no decay,
+    # BaseModel.py:63-72) -- catches both Dense biases and bias-named
+    # tables like item_bias.weight
     wt = torch.nn.Parameter(torch.tensor(w0))
     bt = torch.nn.Parameter(torch.tensor(b0))
+    ibt = torch.nn.Parameter(torch.tensor(ib0))
     opt = torch.optim.Adam(
         [{"params": [wt], "weight_decay": l2},
-         {"params": [bt], "weight_decay": 0.0}], lr=lr)
+         {"params": [bt, ibt], "weight_decay": 0.0}], lr=lr)
     xt, yt = torch.tensor(x), torch.tensor(y)
     for _ in range(steps):
         opt.zero_grad()
-        ((xt @ wt + bt - yt) ** 2).mean().backward()
+        ((xt @ wt + bt + ibt - yt) ** 2).mean().backward()
         opt.step()
 
-    # ours: same param tree through build_optimizer
-    params = {"dense": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    # ours: same param tree through build_optimizer; 'item_bias' is a
+    # non-leaf-'bias' path that must still be exempt from decay
+    params = {"dense": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)},
+              "item_bias": {"embedding": jnp.asarray(ib0)}}
     tx = build_optimizer("Adam", lr, l2)
     opt_state = tx.init(params)
 
     def loss_fn(p):
-        return ((x @ p["dense"]["kernel"] + p["dense"]["bias"] - y) ** 2).mean()
+        out = x @ p["dense"]["kernel"] + p["dense"]["bias"] + p["item_bias"]["embedding"]
+        return ((out - y) ** 2).mean()
 
     for _ in range(steps):
         grads = jax.grad(loss_fn)(params)
@@ -55,6 +62,8 @@ def _run_parity(l2, steps=5, lr=1e-2):
         np.asarray(params["dense"]["kernel"]), wt.detach().numpy(), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(params["dense"]["bias"]), bt.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["item_bias"]["embedding"]), ibt.detach().numpy(), atol=1e-6)
 
 
 def test_adam_step_parity_no_decay():

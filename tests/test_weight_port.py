@@ -1254,7 +1254,6 @@ def test_widedeep_forward_parity(ctr_corpus):
 
     args = argparse.Namespace(emb_size=16, layers="[24]", loss_n="BCE", dropout=0.0,
                               test_all=0, num_neg=0, model_path="", buffer=1)
-    model = get_model("WideDeepCTR").from_args(args, corpus)
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     params = {"bank": _port_fm_tables(ref, corpus, build_schema(corpus)),
               "overall_bias": ref.overall_bias.detach().numpy(),
@@ -1661,7 +1660,22 @@ def _port_attentional_gru(sd, prefix, cell=True):
     else:
         wx, wh = sd[f"{prefix}.weight_ih_l0"], sd[f"{prefix}.weight_hh_l0"]
         bx, bh = sd[f"{prefix}.bias_ih_l0"], sd[f"{prefix}.bias_hh_l0"]
-    return {"wx": wx.T, "wh": wh.T, "bx": bx, "bh": bh}
+    return {"wx": wx.T, "wh": wh.T, "bias_x": bx, "bias_h": bh}
+
+
+def _patch_paper_attention(ref):
+    """Replace the reference's target_attention (softmax over the BATCH
+    axis of a [B*C, H] tensor, DIEN.py:122 -- a latent bug vs the
+    paper/FuxiCTR) with the paper-correct masked softmax over history."""
+
+    def fixed_attention(self, target_emb, interest_emb, lengths):
+        bsz = interest_emb.shape[0]
+        proj = torch.bmm(interest_emb, self.attentionW.unsqueeze(0).repeat(bsz, 1, 1))
+        prod = (proj * target_emb.unsqueeze(1)).sum(-1)  # [B*C, H]
+        mask = torch.arange(prod.shape[1])[None, :] < lengths[:, None]
+        return prod.masked_fill(~mask, -1e9).softmax(dim=-1)
+
+    ref.target_attention = types.MethodType(fixed_attention, ref)
 
 
 @pytest.mark.parametrize("gru_type", ["AGRU", "AUGRU", "AIGRU"])
@@ -1685,15 +1699,7 @@ def test_dien_forward_parity(ctr_corpus, gru_type):
                      aux_activations="ReLU", alpha_aux=0,
                      add_historical_situations=0, history_max=5)
     ref = TorchDIEN(rargs, corpus).eval()
-
-    def fixed_attention(self, target_emb, interest_emb, lengths):
-        bsz = interest_emb.shape[0]
-        proj = torch.bmm(interest_emb, self.attentionW.unsqueeze(0).repeat(bsz, 1, 1))
-        prod = (proj * target_emb.unsqueeze(1)).sum(-1)  # [B*C, H]
-        mask = torch.arange(prod.shape[1])[None, :] < lengths[:, None]
-        return prod.masked_fill(~mask, -1e9).softmax(dim=-1)
-
-    ref.target_attention = types.MethodType(fixed_attention, ref)
+    _patch_paper_attention(ref)
 
     args = argparse.Namespace(emb_size=16, evolving_gru_type=gru_type,
                               fcn_hidden_layers="[24]", fcn_activations="ReLU",
@@ -1712,37 +1718,9 @@ def test_dien_forward_parity(ctr_corpus, gru_type):
                                                     cell=gru_type != "AIGRU"),
               "fcn_net": _port_mlp_block(sd, "fcn_net", [0, 2])}
 
-    rng = np.random.default_rng(21)
-    B, C, H = 6, 3, 5
-    n_users, n_items = corpus.n_users, corpus.n_items
-    users = rng.integers(1, n_users, size=B).astype(np.int32)
-    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
-    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
-    hist = np.zeros((B, H), dtype=np.int32)
-    for b in range(B):
-        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
-    hours = rng.integers(0, 24, size=B).astype(np.int32)
-
-    def ifeat(ids, c):
-        flat = np.asarray([corpus.item_features[i][c] if i > 0 else 0 for i in ids.ravel()])
-        return flat.reshape(ids.shape)
-
-    tf = {"user_id": t(users), "item_id": t(items), "lengths": t(lengths),
-          "history_item_id": t(hist), "c_hour_c": t(hours), "phase": "test"}
-    for c in corpus.user_feature_names:
-        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
-    for c in corpus.item_feature_names:
-        tf[c] = t(ifeat(items, c))
-        tf["history_" + c] = t(ifeat(hist, c))
+    tf, feed, _ = _ctxseq_feed_pair(corpus, 21, H=5)
     with torch.no_grad():
         ref_out = ref(tf)
-
-    import jax.numpy as jnp
-
-    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
-            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths),
-            "situ_cat": jnp.asarray(hours[:, None]),
-            "situ_float": jnp.zeros((B, 0), jnp.float32)}
     out = _apply_ported(model, params, feed)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=2e-5)
@@ -1947,15 +1925,7 @@ def test_can_forward_parity(ctr_corpus):
                      add_historical_situations=0, history_max=5,
                      induce_vec_size=96, orders=1, co_action_layers="[4,4]")
     ref = TorchCAN(rargs, corpus).eval()
-
-    def fixed_attention(self, target_emb, interest_emb, lengths):
-        bsz = interest_emb.shape[0]
-        proj = torch.bmm(interest_emb, self.attentionW.unsqueeze(0).repeat(bsz, 1, 1))
-        prod = (proj * target_emb.unsqueeze(1)).sum(-1)
-        mask = torch.arange(prod.shape[1])[None, :] < lengths[:, None]
-        return prod.masked_fill(~mask, -1e9).softmax(dim=-1)
-
-    ref.target_attention = types.MethodType(fixed_attention, ref)
+    _patch_paper_attention(ref)
 
     args = argparse.Namespace(emb_size=16, evolving_gru_type="AGRU",
                               fcn_hidden_layers="[24]", fcn_activations="ReLU",
@@ -1974,37 +1944,9 @@ def test_can_forward_parity(ctr_corpus):
               "item_embedding_induce": {"embedding": sd["item_embedding_induce.weight"]},
               "fcn_net": _port_mlp_block(sd, "fcn_net", [0, 2])}
 
-    rng = np.random.default_rng(22)
-    B, C, H = 6, 3, 5
-    n_users, n_items = corpus.n_users, corpus.n_items
-    users = rng.integers(1, n_users, size=B).astype(np.int32)
-    items = rng.integers(1, n_items, size=(B, C)).astype(np.int32)
-    lengths = rng.integers(1, H + 1, size=B).astype(np.int32)
-    hist = np.zeros((B, H), dtype=np.int32)
-    for b in range(B):
-        hist[b, : lengths[b]] = rng.integers(1, n_items, size=lengths[b])
-    hours = rng.integers(0, 24, size=B).astype(np.int32)
-
-    def ifeat(ids, c):
-        flat = np.asarray([corpus.item_features[i][c] if i > 0 else 0 for i in ids.ravel()])
-        return flat.reshape(ids.shape)
-
-    tf = {"user_id": t(users), "item_id": t(items), "lengths": t(lengths),
-          "history_item_id": t(hist), "c_hour_c": t(hours), "phase": "test"}
-    for c in corpus.user_feature_names:
-        tf[c] = t(np.asarray([corpus.user_features[u][c] for u in users]))
-    for c in corpus.item_feature_names:
-        tf[c] = t(ifeat(items, c))
-        tf["history_" + c] = t(ifeat(hist, c))
+    tf, feed, _ = _ctxseq_feed_pair(corpus, 22, H=5)
     with torch.no_grad():
         ref_out = ref(tf)
-
-    import jax.numpy as jnp
-
-    feed = {"user_id": jnp.asarray(users), "item_id": jnp.asarray(items),
-            "history_items": jnp.asarray(hist), "lengths": jnp.asarray(lengths),
-            "situ_cat": jnp.asarray(hours[:, None]),
-            "situ_float": jnp.zeros((B, 0), jnp.float32)}
     out = _apply_ported(model, params, feed)
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref_out["prediction"].numpy(), atol=2e-5)

@@ -208,7 +208,9 @@ def infonce(
     B = features.shape[0]
     feats = features / jnp.maximum(jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
     n_views = feats.shape[1]
-    flat = feats.reshape(B * n_views, -1)  # view-major? reference: cat(unbind(dim=1)) -> [2B, D]
+    # VIEW-MAJOR concat (reference: cat(unbind(dim=1)) -> [2B, D]); a
+    # row-major reshape would interleave views per sample and silently
+    # corrupt the positive-mask tiling below
     flat = jnp.concatenate([feats[:, v, :] for v in range(n_views)], axis=0)
     sim = flat @ flat.T / temperature  # [2B, 2B]
     if same_target_mask is None:

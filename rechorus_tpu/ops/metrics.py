@@ -63,7 +63,6 @@ def evaluate_topk(predictions: np.ndarray, topk: List[int], metrics: List[str]) 
 
     Parity: reference src/helpers/BaseRunner.py:51-78.
     """
-    evaluations = dict()
     ranks = (predictions >= predictions[:, 0].reshape(-1, 1)).sum(axis=-1)
     return evaluate_topk_from_ranks(ranks, topk, metrics)
 
@@ -101,7 +100,6 @@ def auc_score(labels: np.ndarray, predictions: np.ndarray) -> float:
     sorted_pred = predictions[order]
     # average ranks over tie groups (1-indexed)
     ranks = np.empty(len(predictions), dtype=np.float64)
-    i = 0
     base = np.arange(1, len(predictions) + 1, dtype=np.float64)
     # vectorized tie-group averaging
     _, inverse, counts = np.unique(sorted_pred, return_inverse=True, return_counts=True)

@@ -108,20 +108,25 @@ def _bucket_max(s, bucket: int):
     return s.reshape(B, -1, bucket).max(-1)
 
 
-def _exact_rescore(u, table, bias, cand, col_offset, n_valid):
+def _exact_rescore(u, table, bias, raw_cand, col_offset, n_valid, n_rows):
     """Gather the candidate rows, rescore exactly, mask by global id.
-    Duplicate ids (from clamping expansion overhang to N-1) can't outrank
-    the true winners' single copies: identical scores, later index loses
-    top_k ties."""
+
+    `raw_cand` may contain out-of-range ids (the last bucket's expansion
+    overhangs a non-divisible catalog): the gather index is clamped but
+    the overhang positions' scores are forced to -inf -- clamping alone
+    would inject duplicate copies of row n_rows-1 that could occupy
+    top-k slots and displace a true winner."""
+    in_range = raw_cand < n_rows
+    cand = jnp.minimum(raw_cand, n_rows - 1).astype(jnp.int32)
     cvec = table[cand]                                      # [B, C, D] (local rows)
     cs = jnp.einsum("bd,bcd->bc", u, cvec.astype(u.dtype))
     if bias is not None:
         cs = cs + bias[cand]
     gcand = cand + col_offset                               # global id space
-    ok = gcand > 0
+    ok = in_range & (gcand > 0)
     if n_valid is not None:
         ok = ok & (gcand < n_valid)
-    return jnp.where(ok, cs, -jnp.inf)
+    return jnp.where(ok, cs, -jnp.inf), cand
 
 
 def _final_select(cs, cand, k, k_wide, clicked_rows, col_offset):
@@ -175,8 +180,8 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
                                  n_valid=n_valid, col_offset=col_offset)
         kk = min(k_wide, bm.shape[1])
         _, gb = jax.lax.top_k(bm, kk)
-        cand = jnp.minimum(PT.expand_bucket_items(gb, bucket), N - 1).astype(jnp.int32)
-        cs = _exact_rescore(u, table, bias, cand, col_offset, n_valid)
+        cs, cand = _exact_rescore(u, table, bias, PT.expand_bucket_items(gb, bucket),
+                                  col_offset, n_valid, N)
         return _final_select(cs, cand, k, k_wide, clicked_rows, col_offset)
 
     n_full, full_span, tail_rows, tile = _tile_plan(N, tile, 1 if approx else bucket)
@@ -234,9 +239,8 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
         kk = min(k_wide, all_v.shape[1])
         _, sel = jax.lax.top_k(all_v, kk)
         gb = jnp.take_along_axis(all_i, sel, axis=1)            # [B, kk] bucket ids
-        cand = (gb[:, :, None] * bucket + jnp.arange(bucket)[None, None, :]).reshape(B, -1)
-        cand = jnp.minimum(cand, N - 1).astype(jnp.int32)       # bucket tail past N
-        cs = _exact_rescore(u, table, bias, cand, col_offset, n_valid)
+        raw = (gb[:, :, None] * bucket + jnp.arange(bucket)[None, None, :]).reshape(B, -1)
+        cs, cand = _exact_rescore(u, table, bias, raw, col_offset, n_valid, N)
 
     return _final_select(cs, cand, k, k_wide, clicked_rows, col_offset)
 

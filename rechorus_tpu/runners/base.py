@@ -69,9 +69,15 @@ def build_optimizer(name: str, lr: float, l2: float, lr_scales=None) -> optax.Gr
     if base is None:
         raise ValueError(f"Unknown optimizer: {name}")
     txs = []
-    if l2 > 0 and name_l != "adamw":
-        txs.append(optax.add_decayed_weights(l2, mask=_decay_mask))
-    txs.append(base(lr))
+    if name_l == "adamw":
+        # decoupled decay with the reference's bias exemption; optax's
+        # default weight_decay=1e-4 would otherwise apply to EVERY param
+        txs.append(base(lr, weight_decay=l2, mask=_decay_mask))
+    else:
+        if l2 > 0:
+            # torch Adam semantics: l2 enters the gradient BEFORE moments
+            txs.append(optax.add_decayed_weights(l2, mask=_decay_mask))
+        txs.append(base(lr))
     if lr_scales is not None:
         # per-group lr (reference customize_parameters optimize_dicts,
         # e.g. Chorus scales pretrained KG tables by --lr_scale): multiply
@@ -268,6 +274,19 @@ class BaseRunner:
             tx = LazyAdamTx(self.learning_rate, self.l2, decay_mask=_decay_mask)
             self._lazy_specs = lazy_specs
         else:
+            if self.bf16_emb:
+                # without the lazy lane, dense Adam moments would inherit
+                # the tables' bf16 (the f32-moments contract of --bf16_emb
+                # lives in LazyAdamTx) -- cast the tables back to f32
+                logging.warning("--bf16_emb without the lazy-Adam lane: "
+                                "casting tables back to f32")
+                from rechorus_tpu.ops.layers import set_table_dtype
+
+                set_table_dtype(None)
+                self.bf16_emb = False
+                params = jax.tree.map(
+                    lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
+                    params)
             tx = build_optimizer(self.optimizer_name, self.learning_rate, self.l2, scales)
             self._lazy_specs = {}
         opt_state = tx.init(params)
@@ -368,7 +387,8 @@ class BaseRunner:
 
         def step_fn(arrays, state: TrainState, xs):
             idx, key = xs
-            feed_key, neg_key, perm_key, drop_key = jax.random.split(key, 4)
+            # 4-way split kept for rng-stream stability (slot 0 unused)
+            _, neg_key, perm_key, drop_key = jax.random.split(key, 4)
             feed = batcher.train_feed(arrays, idx, neg_key)
             # anti-position-leak permutation (ranking tasks only)
             inv = None
@@ -718,7 +738,10 @@ class BaseRunner:
                         scores, cols = metrics_ops.masked_topk(pred, feed["_clicked_rows"], k,
                                                                approx=self.approx_topk,
                                                                recall_target=self.approx_topk_recall)
-                        items = jnp.take_along_axis(feed["item_id"], cols, axis=1)
+                        if "item_id" in feed:
+                            items = jnp.take_along_axis(feed["item_id"], cols, axis=1)
+                        else:  # entity-indexed feeds (CFKG): candidate columns
+                            items = cols
                     return variables, (items, scores)
                 out = model.apply(variables, feed, training=False)
                 pred = out["prediction"]
@@ -826,6 +849,12 @@ class BaseRunner:
                 break
 
         self.finalize_ckpt()  # async orbax write must be durable before reload
+        if not main_metric_results:
+            # aborted before the first dev eval (NaN at epoch 1, Ctrl-C):
+            # nothing to pick a best epoch from
+            logging.info("No completed dev evaluation; returning the last state.")
+            self.last_best_epoch = 0
+            return state
         best_epoch = main_metric_results.index(max(main_metric_results))
         self.last_best_epoch = best_epoch + 1  # exp.py in-process trailer
         logging.info(

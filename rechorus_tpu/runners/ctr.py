@@ -56,12 +56,8 @@ class CTRRunner(BaseRunner):
         preds, labels = eval_fn(state.params, state.extra_vars, arrays, idx_mat)
         return np.asarray(preds)[:n], np.asarray(labels)[:n]
 
+    # print_res is inherited: BaseRunner.print_res routes through the
+    # evaluate() override below
     def evaluate(self, state, model, batcher, arrays, phase, topks, metric_names) -> Dict[str, float]:
         predictions, labels = self.predict(state, model, batcher, arrays, phase)
         return self.evaluate_method(predictions, labels, metric_names)
-
-    def print_res(self, state, model, batcher, arrays, phase) -> str:
-        from rechorus_tpu.utils import io as utils
-
-        result_dict = self.evaluate(state, model, batcher, arrays, phase, self.topk, self.metrics)
-        return "({})".format(utils.format_metric(result_dict))

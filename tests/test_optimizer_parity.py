@@ -74,3 +74,44 @@ def test_adam_step_parity_with_l2():
     """l2 > 0: decay enters the gradient before moments (torch Adam
     weight_decay semantics), biases excluded."""
     _run_parity(l2=0.1)
+
+
+@pytest.mark.parametrize("l2", [0.0, 0.1])
+def test_adamw_step_parity(l2):
+    """--optimizer AdamW: decoupled decay = --l2 with the bias exemption
+    (regression: optax.adamw's DEFAULT weight_decay=1e-4 on all params
+    used to apply because l2 was never forwarded)."""
+    steps, lr = 5, 1e-2
+    rng = np.random.default_rng(1)
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    b0 = rng.normal(size=(3,)).astype(np.float32)
+    x = rng.normal(size=(8, 4)).astype(np.float32)
+    y = rng.normal(size=(8, 3)).astype(np.float32)
+
+    wt = torch.nn.Parameter(torch.tensor(w0))
+    bt = torch.nn.Parameter(torch.tensor(b0))
+    opt = torch.optim.AdamW(
+        [{"params": [wt], "weight_decay": l2},
+         {"params": [bt], "weight_decay": 0.0}], lr=lr)
+    xt, yt = torch.tensor(x), torch.tensor(y)
+    for _ in range(steps):
+        opt.zero_grad()
+        ((xt @ wt + bt - yt) ** 2).mean().backward()
+        opt.step()
+
+    params = {"dense": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    tx = build_optimizer("AdamW", lr, l2)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        return ((x @ p["dense"]["kernel"] + p["dense"]["bias"] - y) ** 2).mean()
+
+    for _ in range(steps):
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["dense"]["kernel"]), wt.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["dense"]["bias"]), bt.detach().numpy(), atol=1e-6)

@@ -111,3 +111,27 @@ def test_tiled_topk_approx_recall():
     appr = [set(map(int, row)) for row in np.asarray(ti)]
     recall = np.mean([len(e & a) / len(e) for e, a in zip(exact, appr)])
     assert recall >= 0.9, recall
+
+
+def test_bucket_overhang_does_not_duplicate_last_item():
+    """Regression: the last bucket's expansion overhangs a non-divisible
+    catalog; clamping those slots to N-1 used to inject duplicate copies
+    of the last item that could occupy top-k slots and displace a true
+    winner. N=17, bucket=16, k=2 with item 16 ranked 1st and item 5 2nd:
+    the buggy kernel returned [16, 16]."""
+    N, D, k = 17, 8, 2
+    table = np.zeros((N, D), np.float32)
+    table[16, 0] = 2.0   # top-1
+    table[5, 0] = 1.0    # top-2
+    table[7, 0] = 0.5    # top-3
+    u = np.asarray([[1.0] + [0.0] * (D - 1)], np.float32)
+    v, ids = tiled_catalog_topk(jnp.asarray(u), jnp.asarray(table), k,
+                                bucket=16, tile=64)
+    ids = np.asarray(ids)[0].tolist()
+    assert ids == [16, 5], ids
+    # uniqueness holds at larger k too (excluding id 0, masked as pad)
+    v, ids = tiled_catalog_topk(jnp.asarray(u), jnp.asarray(table), 8,
+                                bucket=16, tile=64)
+    row = np.asarray(ids)[0]
+    valid = row[np.asarray(v)[0] > -np.inf]
+    assert len(set(valid.tolist())) == len(valid)

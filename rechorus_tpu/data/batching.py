@@ -61,6 +61,14 @@ class LazyRows:
     def ndim(self) -> int:
         return len(self.shape)
 
+    def __getitem__(self, key) -> np.ndarray:
+        # plain [lo:hi] slicing materializes the range (host-side
+        # precomputes like SLRC/Chorus intervals stream over row chunks)
+        if not (isinstance(key, slice) and key.step in (None, 1)):
+            raise TypeError("LazyRows supports only contiguous [lo:hi] slices")
+        lo, hi, _ = key.indices(self.shape[0])
+        return self.materialize(lo, hi)
+
     def materialize(self, lo: int = 0, hi: int | None = None) -> np.ndarray:
         hi = self.shape[0] if hi is None else hi
         n = self.shape[0]
@@ -305,19 +313,27 @@ class SequentialBatcher(GeneralBatcher):
             # row slice, so a range build costs exactly its share
             cache = {}
 
-            def triple(lo, hi):
+            def triple(lo, hi, j):
                 # one entry per local shard range (the three keys request
-                # the same ranges, so each range builds once)
-                if (lo, hi) not in cache:
-                    cache[(lo, hi)] = self.corpus.history_arrays(df.iloc[lo:hi], H)
-                return cache[(lo, hi)]
+                # the same ranges, so each range builds once); evicted
+                # after its 3rd read so the host copy does not stay
+                # pinned alongside the device placement for the whole run
+                ent = cache.get((lo, hi))
+                if ent is None:
+                    ent = [self.corpus.history_arrays(df.iloc[lo:hi], H), 0]
+                    cache[(lo, hi)] = ent
+                val = ent[0][j]
+                ent[1] += 1
+                if ent[1] >= 3:
+                    cache.pop((lo, hi), None)
+                return val
 
             self.arrays["history_items"] = LazyRows(
-                (self.n, H), np.int32, lambda lo, hi: triple(lo, hi)[0])
+                (self.n, H), np.int32, lambda lo, hi: triple(lo, hi, 0))
             self.arrays["history_times"] = LazyRows(
-                (self.n, H), np.int64, lambda lo, hi: triple(lo, hi)[1])
+                (self.n, H), np.int64, lambda lo, hi: triple(lo, hi, 1))
             self.arrays["lengths"] = LazyRows(
-                (self.n,), np.int32, lambda lo, hi: triple(lo, hi)[2])
+                (self.n,), np.int32, lambda lo, hi: triple(lo, hi, 2))
         else:
             his_items, his_times, lengths = self.corpus.history_arrays(df, H)
             self.arrays["history_items"] = his_items
@@ -326,7 +342,9 @@ class SequentialBatcher(GeneralBatcher):
         self.test_all = bool(getattr(self.model, "test_all", 0)) and self.phase != "train"
         if self.phase == "train":
             self.arrays["_clicked"] = self.corpus.clicked_matrix(include_residual=False)
-            self.num_neg = self.model.num_neg
+            # same train_with_neg contract as GeneralBatcher (CLRec etc.
+            # train without sampled negatives)
+            self.num_neg = self.model.num_neg if getattr(self.model, "train_with_neg", True) else 0
         elif not self.test_all:
             neg = np.stack(df["neg_items"].to_list()).astype(np.int32)
             self.arrays["neg_items"] = neg

@@ -809,29 +809,42 @@ class KDAReader(KGReader):
                     d = df["time"].to_numpy()
                     d = d[1:] - d[:-1]
                     self.interval_dict[attr].extend(d[d > 0].tolist())
-            # natural item relations: nearest related predecessor per target
+            # natural item relations: nearest related predecessor per target.
+            # Pairs are enumerated in TARGET CHUNKS so peak memory stays
+            # ~PAIR_BUDGET regardless of history length (a full
+            # np.tril_indices(L) is O(L^2) -- tens of GB for a 50k-row
+            # power user); each target's pairs live in one chunk, so the
+            # per-chunk nearest-predecessor pick is globally correct.
             L = len(iids)
             if L < 2 or not len(keys):
                 continue
-            s_idx, t_idx = np.tril_indices(L, k=-1)  # source earlier than target
-            # tril gives (row=target, col=source)
-            tgt, src = s_idx, t_idx
-            dt = times[tgt] - times[src]
-            for r_idx, relation in enumerate(self.item_relations):
-                q = pack_keys(iids[src], np.full(len(src), r_idx + 1), iids[tgt],
-                              self.n_relations, self.n_entities)
-                pos = np.searchsorted(keys, q)
-                member = keys[np.clip(pos, 0, len(keys) - 1)] == q
-                ok = member & (dt > 0)
-                if not ok.any():
-                    continue
-                # nearest predecessor = max src index per target
-                best = {}
-                for k in np.flatnonzero(ok):
-                    t0 = tgt[k]
-                    if t0 not in best or src[k] > src[best[t0]]:
-                        best[t0] = k
-                self.interval_dict[relation].extend(int(dt[k]) for k in best.values())
+            PAIR_BUDGET = 1 << 22
+            t_lo = 1
+            while t_lo < L:
+                span = max(1, PAIR_BUDGET // L)
+                t_hi = min(t_lo + span, L)
+                tgt_arr = np.arange(t_lo, t_hi)[:, None]   # [T, 1]
+                src_arr = np.arange(t_hi - 1)[None, :]     # [1, S]
+                valid = src_arr < tgt_arr
+                tgt = np.broadcast_to(tgt_arr, valid.shape)[valid]
+                src = np.broadcast_to(src_arr, valid.shape)[valid]
+                dt = times[tgt] - times[src]
+                for r_idx, relation in enumerate(self.item_relations):
+                    q = pack_keys(iids[src], np.full(len(src), r_idx + 1), iids[tgt],
+                                  self.n_relations, self.n_entities)
+                    pos = np.searchsorted(keys, q)
+                    member = keys[np.clip(pos, 0, len(keys) - 1)] == q
+                    ok = member & (dt > 0)
+                    if not ok.any():
+                        continue
+                    # nearest predecessor = max src index per target
+                    best = {}
+                    for k in np.flatnonzero(ok):
+                        t0 = tgt[k]
+                        if t0 not in best or src[k] > src[best[t0]]:
+                            best[t0] = k
+                    self.interval_dict[relation].extend(int(dt[k]) for k in best.values())
+                t_lo = t_hi
 
         try:
             import pickle

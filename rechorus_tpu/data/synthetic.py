@@ -168,7 +168,6 @@ def make_impression_dataset(
     df = df.sort_values(by=["user_id", "time"], kind="mergesort").reset_index(drop=True)
     # split by impression index per user
     t_per_user = df.groupby("user_id")["time"].transform("max")
-    t2_per_user = df[df["time"] < t_per_user].groupby("user_id")["time"].transform("max")
     test = df[df["time"] == t_per_user]
     rest = df[df["time"] < t_per_user]
     t2 = rest.groupby("user_id")["time"].transform("max")

@@ -46,10 +46,20 @@ def run_inproc(cmd: str, seeds: List[int]) -> List[dict]:
     """All seeds of one command in this process: the corpus, model,
     batchers and the runner's compiled fns are built once (seed only
     affects init + shuffling), so seeds 1..n-1 skip compilation entirely."""
+    import os as _os
     import shlex
 
     from rechorus_tpu import main as main_mod
     from rechorus_tpu import registry
+
+    # same platform re-assert as main.build_parser_and_run: the image's
+    # TPU init hook overrides the JAX_PLATFORMS env var, and in-process
+    # runs never pass through main's entry point
+    plat = _os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     tokens = shlex.split(cmd)
     # strip any "python[3] [-m] rechorus_tpu.main|main.py" prefix
@@ -76,9 +86,11 @@ def run_inproc(cmd: str, seeds: List[int]) -> List[dict]:
         args.model_path = "../model/{}/exp__{}.bin".format(
             init_args.model_name + init_args.model_mode, args.dataset)
 
+    from rechorus_tpu.parallel.distributed import maybe_initialize
     from rechorus_tpu.utils import io as utils
 
     utils.init_logging(args.log_file, args.verbose)
+    maybe_initialize(args)  # multi-host: must precede any other JAX call
     main_mod.enable_compilation_cache(args)
     stack = main_mod.build_stack(args, model_cls, reader_cls, runner_cls)
     infos = []

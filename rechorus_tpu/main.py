@@ -171,7 +171,7 @@ def train_and_eval(args, corpus, runner, model, batchers, arrays, seed: int):
     )
 
     if args.train > 0:
-        state = runner.train(model, batchers, state)
+        state = runner.train(model, batchers, state, arrays)
 
     eval_res = runner.print_res(state, model, batchers["dev"], arrays["dev"], "dev")
     logging.info(os.linesep + "Dev  After Training: " + eval_res)

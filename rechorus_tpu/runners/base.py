@@ -776,8 +776,13 @@ class BaseRunner:
         return "({})".format(utils.format_metric(result_dict))
 
     # ------------------------------------------------------------------ #
-    def train(self, model, batchers: Dict[str, object], state: TrainState = None) -> TrainState:
-        arrays = {phase: self.place_arrays(b.device_arrays()) for phase, b in batchers.items()}
+    def train(self, model, batchers: Dict[str, object], state: TrainState = None,
+              arrays: Dict[str, dict] = None) -> TrainState:
+        if arrays is None:
+            # callers that already placed the corpus (main.build_stack)
+            # pass it in -- re-placing here would hold every corpus array
+            # twice in HBM for the whole run
+            arrays = {phase: self.place_arrays(b.device_arrays()) for phase, b in batchers.items()}
         rng_key = jax.random.key(self.random_seed)
         if state is None:
             state = self.init_state(model, batchers["train"], self.random_seed)

@@ -45,10 +45,10 @@ def run_model(corpus, name, args):
     model = model_cls.from_args(args, corpus)
     runner = registry.get_runner(model_cls.runner)(args)
     batchers = {p: get_batcher(model_cls.batcher)(corpus, model, p, args) for p in ["train", "dev", "test"]}
-    arrays = {p: b.device_arrays() for p, b in batchers.items()}
+    arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
     state = runner.init_state(model, batchers["train"], args.random_seed)
     before = runner.evaluate(state, model, batchers["test"], arrays["test"], "test", [5], ["HR", "NDCG"])
-    state = runner.train(model, batchers, state)
+    state = runner.train(model, batchers, state, arrays)
     after = runner.evaluate(state, model, batchers["test"], arrays["test"], "test", [5], ["HR", "NDCG"])
     return before, after, state, runner
 
@@ -223,3 +223,12 @@ def test_contra_kda_learns(kda_corpus):
     before, after, _, _ = run_model(kda_corpus, "ContraKDA", args)
     assert np.isfinite(after["HR@5"])
     assert after["HR@5"] > before["HR@5"] + 0.2
+
+
+def test_slrcplus_host_shard_input(corpus):
+    """Regression: SLRC's interval precompute slices the history arrays
+    with [lo:hi]; under --host_shard_input those are LazyRows, which used
+    to raise TypeError (not subscriptable) before training started."""
+    args = make_args(epoch=1, host_shard_input=1)
+    before, after, state, runner = run_model(corpus, "SLRCPlus", args)
+    assert np.isfinite(after["HR@5"])

@@ -52,7 +52,7 @@ def main():
     model = model_cls.from_args(args, corpus)
     runner = registry.get_runner(model_cls.runner)(args)
     batcher = get_batcher(model_cls.batcher)(corpus, model, "train", args)
-    arrays = batcher.device_arrays()
+    arrays = runner.place_arrays(batcher.device_arrays())  # resolves LazyRows
     state = runner.init_state(model, batcher, 0)
     rng = jax.random.key(0)
 

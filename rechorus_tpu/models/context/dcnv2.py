@@ -37,15 +37,19 @@ class DCNv2Base:
         return {"layers": tuple(ast.literal_eval(args.layers))}
 
     def cross_net_2(self, x0):
-        """x_{l+1} = x_0 * (W_l x_l + b_l) + x_l (full matrix)."""
+        """x_{l+1} = x_0 * (W_l x_l + b_l) + x_l (full matrix). Also
+        returns sum_l ||W_l||_F: the reference adds reg_weight * that to
+        the loss for the non-mixed variant (DCNv2.py:192-198)."""
         D = x0.shape[-1]
         x_l = x0
+        reg = 0.0
         for layer in range(self.cross_layer_num):
             w = self.param(f"cross_w2_{layer}", nn.initializers.normal(1.0), (D, D))
             b = self.param(f"cross_b_{layer}", nn.initializers.zeros, (D,))
             xl_w = jnp.einsum("de,bce->bcd", w, x_l) + b
             x_l = x0 * xl_w + x_l
-        return x_l
+            reg = reg + jnp.sqrt((w ** 2).sum())
+        return x_l, reg
 
     def cross_net_mix(self, x0):
         """MoE of low-rank experts with tanh nonlinearity in the subspace
@@ -83,7 +87,10 @@ class DCNv2Base:
         B, C = context_vectors.shape[:2]
         context_emb = context_vectors.reshape(B, C, -1)
 
-        cross_output = self.cross_net_mix(context_emb) if self.mixed else self.cross_net_2(context_emb)
+        if self.mixed:
+            cross_output, reg = self.cross_net_mix(context_emb), 0.0
+        else:
+            cross_output, reg = self.cross_net_2(context_emb)
         deep = MLPBlock(
             hidden_units=self.layers, hidden_activations="ReLU", norm="batch_norm",
             dropout_rate=self.dropout, output_dim=None, name="deep_layers",
@@ -94,7 +101,7 @@ class DCNv2Base:
         else:  # stacked
             deep_output = deep(cross_output, training=training)
             output = dense(1, name="predict_layer")(deep_output)
-        return output[..., 0]
+        return output[..., 0], reg
 
 
 @register_model("DCNv2CTR")
@@ -122,7 +129,14 @@ class DCNv2CTR(ContextCTRModel, DCNv2Base):
 
     @nn.compact
     def __call__(self, feed, training: bool = False):
-        return ctr_out(self.dcnv2_prediction(feed, training), feed)
+        pred, reg = self.dcnv2_prediction(feed, training)
+        out = ctr_out(pred, feed)
+        out["reg_loss"] = self.reg_weight * reg
+        return out
+
+    def loss(self, out_dict, feed):
+        # reference adds the cross-matrix L2 only for mixed==0 (DCNv2.py:192-222)
+        return super().loss(out_dict, feed) + out_dict["reg_loss"]
 
 
 @register_model("DCNv2TopK")
@@ -150,4 +164,8 @@ class DCNv2TopK(ContextModel, DCNv2Base):
 
     @nn.compact
     def __call__(self, feed, training: bool = False):
-        return {"prediction": self.dcnv2_prediction(feed, training)}
+        pred, reg = self.dcnv2_prediction(feed, training)
+        return {"prediction": pred, "reg_loss": self.reg_weight * reg}
+
+    def loss(self, out_dict, feed):
+        return super().loss(out_dict, feed) + out_dict["reg_loss"]

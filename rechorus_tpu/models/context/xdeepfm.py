@@ -76,23 +76,41 @@ class XDeepFMBase:
 
     def xdfm_prediction(self, feed, training: bool):
         cat_ids, float_vals = self.context_inputs(feed)
-        context_vectors, linear_value = FeatureEmbeddingBank(
+        bank = FeatureEmbeddingBank(
             total_vocab=self.total_vocab, kinds=self.feature_kinds,
-            vec_size=self.emb_size, include_linear=True, name="bank",
-        )(cat_ids, float_vals)
+            vec_size=self.emb_size, include_linear=True, name="bank")
+        context_vectors, linear_value = bank(cat_ids, float_vals)
         overall_bias = self.param("overall_bias", lambda k: jnp.asarray([0.01]))
         fm_prediction = overall_bias + linear_value.sum(axis=-1)
         fm_vectors = 0.5 * (context_vectors.sum(axis=-2) ** 2 - (context_vectors ** 2).sum(axis=-2))
         fm_prediction = fm_prediction + fm_vectors.sum(axis=-1)
 
         B, C = context_vectors.shape[:2]
-        deep_prediction = MLPBlock(
+        deep = MLPBlock(
             hidden_units=self.layers, hidden_activations="ReLU",
-            dropout_rate=self.dropout, output_dim=1, name="deep_layers",
-        )(context_vectors.reshape(B, C, -1), training=training)[..., 0]
+            dropout_rate=self.dropout, output_dim=1, name="deep_layers")
+        deep_prediction = deep(context_vectors.reshape(B, C, -1), training=training)[..., 0]
 
         cin_output, reg = self.cin(context_vectors)
         cin_prediction = dense(1, name="cin_linear")(cin_output)[..., 0]
+
+        # reference reg_loss (xDeepFM.py:76-93) also covers the deep MLP
+        # Linear weights and each per-feature linear-embedding table's
+        # weight, as separate per-parameter L2 norms
+        dp = deep.variables["params"]
+        for sub in dp.values():
+            if "kernel" in sub:
+                reg = reg + jnp.sqrt((sub["kernel"] ** 2).sum())
+        bp = bank.variables["params"]
+        if "fused_linear" in bp:
+            lin = bp["fused_linear"]["embedding"]
+            offs = list(self.feature_offsets) + [self.total_vocab]
+            for a, b in zip(offs[:-1], offs[1:]):  # per-feature table norms
+                reg = reg + jnp.sqrt((lin[a:b] ** 2).sum())
+        j = 0
+        while f"float_lin_{j}" in bp:
+            reg = reg + jnp.sqrt((bp[f"float_lin_{j}"]["kernel"] ** 2).sum())
+            j += 1
         return fm_prediction + deep_prediction + cin_prediction, reg
 
 

@@ -150,7 +150,12 @@ class ETABase:
         return topk_emb, topk_mask
 
     def _rotations(self, name, input_dim):
-        # fixed (non-trainable) rotations kept in 'constants'
+        # fixed (non-trainable) rotations kept in 'constants'.
+        # Documented deviation: --reuse_hash 0 (the reference redraws
+        # torch.randn rotations at EVERY forward, ETA.py:255-256, making
+        # eval nondeterministic) is treated as reuse_hash 1 -- fixed
+        # rotations are the paper's LSH setting and the only reproducible
+        # one under jit.
         if self.has_variable("constants", name):
             return self.get_variable("constants", name)
         key = jax.random.key(42)

@@ -21,9 +21,8 @@ class POP(GeneralModel):
     @classmethod
     def corpus_kwargs(cls, args, corpus):
         kw = super().corpus_kwargs(args, corpus)
-        pop = np.zeros(corpus.n_items, dtype=np.int64)
-        for i in corpus.data_df["train"]["item_id"].to_numpy():
-            pop[i] += 1
+        pop = np.bincount(corpus.data_df["train"]["item_id"].to_numpy(),
+                          minlength=corpus.n_items)
         kw["popularity"] = tuple(pop.tolist())
         return kw
 

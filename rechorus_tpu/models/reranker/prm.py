@@ -31,8 +31,12 @@ class PRMBase:
         i_vectors = embed(self.item_num, self.emb_size, "i_embeddings")(i_ids)
         pv = jnp.concatenate([feed["u_v"], feed["i_v"]], axis=2)
         di = jnp.concatenate([i_vectors, pv], axis=2)
+        # sized by the LARGER of the train/test caps: the reference sizes
+        # by train caps only and index-errors when test caps exceed them;
+        # a JAX gather would silently clamp instead, so size for both
         pi = embed(
-            self.train_max_pos_item + self.train_max_neg_item,
+            max(self.train_max_pos_item + self.train_max_neg_item,
+                self.test_max_pos_item + self.test_max_neg_item),
             self.emb_size + self.ranker_emb_size * 2,
             "ordinal_position_embedding",
         )(feed["position"])

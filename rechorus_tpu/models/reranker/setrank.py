@@ -56,8 +56,10 @@ class SetRankBase:
         di = jnp.concatenate([i_vectors, pv], axis=2)
         # position added AFTER rFF0 (positionafter=1, SetRank.py:108-120)
         xi = dense(self.num_hidden_unit, name="rFF0")(di)
+        # sized by the larger of the train/test caps (see prm.py note)
         pi = embed(
-            self.train_max_pos_item + self.train_max_neg_item,
+            max(self.train_max_pos_item + self.train_max_neg_item,
+                self.test_max_pos_item + self.test_max_neg_item),
             self.num_hidden_unit, "ordinal_position_embedding",
         )(feed["position"])
         xi = xi + pi

@@ -2109,7 +2109,7 @@ def test_fourierta_forward_parity():
 # --------------------------------------------------------------------- #
 def _rerank_attrs():
     return dict(item_num=50, train_max_pos_item=2, train_max_neg_item=6,
-                ranker_emb_size=8)
+                test_max_pos_item=2, test_max_neg_item=6, ranker_emb_size=8)
 
 
 def _rerank_feed(rng, B=4, L=8, ranker_d=8):

@@ -1,0 +1,158 @@
+"""Reader-output parity vs the torch reference's helpers.
+
+The readers are the layer least directly pinned by the weight-port /
+metric-parity suites (those only see readers through batched feeds).
+Here the reference readers run on the SAME CSVs and every corpus
+statistic they expose -- id spaces, clicked sets, per-user histories,
+feature vocabularies, impression groupings, KG triplets, KDA frequency
+spectra -- must match ours exactly.
+"""
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+from rechorus_tpu import registry
+from rechorus_tpu.data.synthetic import (make_ctr_dataset,
+                                         make_impression_dataset,
+                                         make_kg_dataset)
+
+REF_SRC = "/root/reference/src"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_path():
+    sys.path.insert(0, REF_SRC)
+    np.int = int  # reference code predates numpy 1.24
+    yield
+    sys.path.remove(REF_SRC)
+    del np.int
+
+
+def ns(**kw):
+    return argparse.Namespace(**kw)
+
+
+@pytest.fixture(scope="module")
+def kg_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kg")
+    make_kg_dataset(str(root / "SynthKG"))
+    # the reference and our KDAReader both cache interval.pkl in the
+    # dataset dir -- give each side its own copy
+    shutil.copytree(str(root / "SynthKG"), str(root / "SynthKG_ref"))
+    return root
+
+
+def test_base_seq_reader_parity(kg_root):
+    from helpers.SeqReader import SeqReader as RefSeqReader
+
+    ref = RefSeqReader(ns(path=str(kg_root), dataset="SynthKG_ref", sep="\t"))
+    ours = registry.get_reader("SeqReader")(
+        ns(path=str(kg_root), dataset="SynthKG", sep="\t"))
+
+    assert ours.n_users == ref.n_users and ours.n_items == ref.n_items
+    for u in range(ref.n_users):
+        assert set(np.asarray(ours.train_clicked_set.get(u, ())).tolist()) == \
+            ref.train_clicked_set.get(u, set()), f"clicked mismatch u={u}"
+        assert set(np.asarray(ours.residual_clicked_set.get(u, ())).tolist()) == \
+            ref.residual_clicked_set.get(u, set()), f"residual mismatch u={u}"
+        ours_his = [tuple(r) for r in np.asarray(ours.user_his.get(u, np.empty((0, 2))))]
+        ref_his = [tuple(map(int, x)) for x in ref.user_his.get(u, [])]
+        assert ours_his == ref_his, f"user_his mismatch u={u}"
+    # per-split row parity incl. the position column SeqReader appends
+    for phase in ["train", "dev", "test"]:
+        np.testing.assert_array_equal(
+            ours.data_df[phase]["position"].to_numpy(),
+            ref.data_df[phase]["position"].to_numpy())
+
+
+def test_context_reader_parity(tmp_path):
+    from helpers.ContextReader import ContextReader as RefContextReader
+
+    make_ctr_dataset(str(tmp_path / "SynthCTR"))
+    flags = dict(include_item_features=1, include_user_features=1,
+                 include_situation_features=1)
+    ref = RefContextReader(ns(path=str(tmp_path), dataset="SynthCTR", sep="\t", **flags))
+    ours = registry.get_reader("ContextReader")(
+        ns(path=str(tmp_path), dataset="SynthCTR", sep="\t", **flags))
+
+    assert dict(ours.feature_max) == dict(ref.feature_max)
+    assert list(ours.item_feature_names) == list(ref.item_feature_names)
+    assert list(ours.user_feature_names) == list(ref.user_feature_names)
+    assert list(ours.situation_feature_names) == list(ref.situation_feature_names)
+    for i in range(1, ref.n_items):
+        for c in ref.item_feature_names:
+            assert ours.item_features[i][c] == ref.item_features[i][c]
+    for u in range(1, ref.n_users):
+        for c in ref.user_feature_names:
+            assert ours.user_features[u][c] == ref.user_features[u][c]
+
+
+def test_impression_reader_parity(tmp_path):
+    from helpers.ImpressionReader import ImpressionReader as RefImpressionReader
+
+    make_impression_dataset(str(tmp_path / "SynthImp"))
+    ref = RefImpressionReader(ns(path=str(tmp_path), dataset="SynthImp", sep="\t",
+                                 impression_idkey="time"))
+    ours = registry.get_reader("ImpressionReader")(
+        ns(path=str(tmp_path), dataset="SynthImp", sep="\t", impression_idkey="time"))
+
+    assert ours.n_users == ref.n_users and ours.n_items == ref.n_items
+    for phase in ["train", "dev", "test"]:
+        od, rd = ours.data_df[phase], ref.data_df[phase]
+        assert len(od) == len(rd), phase
+        np.testing.assert_array_equal(od["user_id"].to_numpy(), rd["user_id"].to_numpy())
+        np.testing.assert_array_equal(
+            od["pos_num"].to_numpy().astype(np.int64),
+            rd["pos_num"].to_numpy().astype(np.int64))
+        np.testing.assert_array_equal(
+            od["neg_num"].to_numpy().astype(np.int64),
+            rd["neg_num"].to_numpy().astype(np.int64))
+        for j in range(len(od)):
+            assert set(map(int, od["pos_items"].iloc[j])) == set(map(int, rd["pos_items"].iloc[j]))
+            assert set(map(int, od["neg_items"].iloc[j])) == set(map(int, rd["neg_items"].iloc[j]))
+
+
+def test_kg_reader_parity(kg_root):
+    from helpers.KGReader import KGReader as RefKGReader
+
+    ref = RefKGReader(ns(path=str(kg_root), dataset="SynthKG_ref", sep="\t", include_attr=1))
+    ours = registry.get_reader("KGReader")(
+        ns(path=str(kg_root), dataset="SynthKG", sep="\t", include_attr=1))
+
+    assert ours.n_relations == ref.n_relations
+    assert ours.n_entities == ref.n_entities
+    assert list(ours.item_relations) == list(ref.item_relations)
+    assert list(ours.attr_relations) == list(ref.attr_relations)
+    ours_triplets = set(map(tuple, ours.relation_df[["head", "relation", "tail"]].to_numpy().tolist()))
+    assert ours_triplets == ref.triplet_set
+
+
+def test_kda_reader_parity(kg_root):
+    """The DFT frequency spectra (freq_x) initialize KDA's temporal
+    decay; they are a function of the interval distributions, so this
+    also pins the chunked nearest-predecessor interval counting against
+    the reference's early-exit loop."""
+    from helpers.KDAReader import KDAReader as RefKDAReader
+
+    common = dict(sep="\t", include_attr=1, t_scalar=60, n_dft=16, freq_rand=0,
+                  regenerate=1)
+    ref = RefKDAReader(ns(path=str(kg_root), dataset="SynthKG_ref", **common))
+    ours = registry.get_reader("KDAReader")(
+        ns(path=str(kg_root), dataset="SynthKG", **common))
+
+    assert ours.freq_x.shape == ref.freq_x.shape
+    # ours frees interval_dict after the DFT; both sides cache it
+    import pickle
+
+    with open(os.path.join(str(kg_root), "SynthKG", "interval.pkl"), "rb") as f:
+        ours_iv = pickle.load(f)
+    with open(os.path.join(str(kg_root), "SynthKG_ref", "interval.pkl"), "rb") as f:
+        ref_iv = pickle.load(f)
+    for col in ["virtual"] + list(ref.relations):
+        assert sorted(map(int, ours_iv[col])) == sorted(map(int, ref_iv[col])), col
+    np.testing.assert_allclose(np.asarray(ours.freq_x), np.asarray(ref.freq_x),
+                               atol=1e-8)

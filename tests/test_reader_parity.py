@@ -156,3 +156,43 @@ def test_kda_reader_parity(kg_root):
         assert sorted(map(int, ours_iv[col])) == sorted(map(int, ref_iv[col])), col
     np.testing.assert_allclose(np.asarray(ours.freq_x), np.asarray(ref.freq_x),
                                atol=1e-8)
+
+
+def test_slrc_interval_feed_parity(kg_root):
+    """SLRC's [B, C, R] relational_interval feed: our device searchsorted
+    kernel (ops/kg.relational_intervals via SLRCBatcher) vs the reference
+    Dataset's python loops (SLRCPlus.py:84-116), on identical dev rows."""
+    import types
+
+    import torch
+    from helpers.KGReader import KGReader as RefKGReader
+    from models.sequential.SLRCPlus import SLRCPlus as TorchSLRC
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.registry import get_model
+
+    ref_corpus = RefKGReader(ns(path=str(kg_root), dataset="SynthKG_ref",
+                                sep="\t", include_attr=0))
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=1,
+        dropout=0.0, test_all=0, emb_size=16, history_max=10,
+        time_scalar=60 * 60 * 24 * 100)
+    torch.manual_seed(0)
+    ref_model = TorchSLRC(rargs, ref_corpus)
+    ref_ds = TorchSLRC.Dataset(ref_model, ref_corpus, "dev")
+
+    ours_corpus = registry.get_reader("KGReader")(
+        ns(path=str(kg_root), dataset="SynthKG", sep="\t", include_attr=0))
+    args = ns(emb_size=16, time_scalar=60 * 60 * 24 * 100, num_neg=1,
+              dropout=0.0, test_all=0, model_path="", buffer=1,
+              history_max=10, host_shard_input=0)
+    model = get_model("SLRCPlus").from_args(args, ours_corpus)
+    batcher = get_batcher("slrc")(ours_corpus, model, "dev", args)
+    ours_iv = np.asarray(batcher.arrays["relational_interval"], dtype=np.float32)
+
+    n = min(len(ref_ds), 64)
+    for j in range(n):
+        fd = ref_ds._get_feed_dict(j)
+        np.testing.assert_allclose(
+            ours_iv[j], fd["relational_interval"].astype(np.float32),
+            atol=1e-6, err_msg=f"row {j}")

@@ -196,3 +196,52 @@ def test_slrc_interval_feed_parity(kg_root):
         np.testing.assert_allclose(
             ours_iv[j], fd["relational_interval"].astype(np.float32),
             atol=1e-6, err_msg=f"row {j}")
+
+
+def test_kda_feed_parity(kg_root):
+    """KDA eval feeds: per-candidate relation-value entities (item_val)
+    and log-normalized history time deltas vs the reference KDA.Dataset
+    (KDA.py:192-218) on identical dev rows."""
+    import types
+
+    import jax.numpy as jnp
+    import torch
+    from helpers.KDAReader import KDAReader as RefKDAReader
+    from models.sequential.KDA import KDA as TorchKDA
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.registry import get_model
+
+    common = dict(sep="\t", include_attr=1, t_scalar=60, n_dft=16, freq_rand=0,
+                  regenerate=0)
+    ref_corpus = RefKDAReader(ns(path=str(kg_root), dataset="SynthKG_ref", **common))
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=1,
+        dropout=0.0, test_all=0, emb_size=16, history_max=10, num_layers=1,
+        num_heads=1, n_dft=16, freq_rand=0, gamma=0.5, attention_size=10,
+        pooling="average", include_val=1, neg_head_p=0.5)
+    torch.manual_seed(0)
+    ref_model = TorchKDA(rargs, ref_corpus)
+    ref_ds = TorchKDA.Dataset(ref_model, ref_corpus, "dev")
+
+    ours_corpus = registry.get_reader("KDAReader")(
+        ns(path=str(kg_root), dataset="SynthKG", **common))
+    args = ns(emb_size=16, num_layers=1, num_heads=1, gamma=0.5,
+              attention_size=10, pooling="average", include_val=1,
+              neg_head_p=0.5, t_scalar=60, freq_rand=0, num_neg=1,
+              dropout=0.0, test_all=0, model_path="", buffer=1,
+              history_max=10, host_shard_input=0)
+    model = get_model("KDA").from_args(args, ours_corpus)
+    batcher = get_batcher("kda")(ours_corpus, model, "dev", args)
+    B = min(len(batcher), 64)
+    feed = batcher.eval_feed(batcher.device_arrays(), jnp.arange(B))
+    ours_val = np.asarray(feed["item_val"])
+    ours_dt = np.asarray(feed["history_delta_t"])
+
+    for j in range(B):
+        fd = ref_ds._get_feed_dict(j)
+        np.testing.assert_array_equal(ours_val[j], np.asarray(fd["item_val"]),
+                                      err_msg=f"item_val row {j}")
+        H = len(fd["history_delta_t"])
+        np.testing.assert_allclose(ours_dt[j, :H], fd["history_delta_t"],
+                                   atol=1e-5, err_msg=f"delta_t row {j}")

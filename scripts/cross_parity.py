@@ -254,11 +254,12 @@ def main():
                 ok = abs(ref_mean - tpu_mean) <= max(0.02, 1.5 * spread)
                 rows.append((f"{name}{mode}", dataset, key, ref_vals, tpu_vals, ok))
 
+    import time as _time
+
     lines = [
-        "# Cross-framework metric parity (torch reference vs rechorus_tpu)",
         "",
-        "Same synthetic mid-SNR CSVs, same flags, seeds {} (see scripts/cross_parity.py)."
-        .format(seeds),
+        "## families: {} (seeds {}, run {})".format(
+            a.families, seeds, _time.strftime("%Y-%m-%d %H:%M")),
         "",
         "| model | dataset | metric | reference (per seed) | ours (per seed) | agree |",
         "|---|---|---|---|---|---|",
@@ -269,7 +270,14 @@ def main():
             model, dataset, key, fmt(rv), fmt(tv),
             {True: "yes", False: "**NO**", None: "n/a"}[ok]))
     out = "\n".join(lines) + "\n"
-    with open(a.out, "w") as f:
+    # per-family sections APPEND so one family's rerun never erases
+    # another family's recorded table
+    if not os.path.exists(a.out):
+        header = ("# Cross-framework metric parity (torch reference vs "
+                  "rechorus_tpu)\n\nSame synthetic mid-SNR CSVs, same flags "
+                  "(see scripts/cross_parity.py).\n")
+        out = header + out
+    with open(a.out, "a") as f:
         f.write(out)
     print(out)
 

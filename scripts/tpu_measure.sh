@@ -8,16 +8,25 @@ OUT=${OUT:-/tmp/tpu_measure_$(date +%m%d_%H%M)}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
-run() {  # run <name> <timeout_s> <cmd...>
-  local name=$1 tmo=$2; shift 2
+run() {  # run <name> <timeout_s> <cmd...>  -> returns the command's rc
+  local name=$1 tmo=$2 rc; shift 2
   echo "=== $name ==="
   timeout "$tmo" "$@" >"$OUT/$name.txt" 2>&1
-  echo "rc=$? (see $OUT/$name.txt)"; tail -2 "$OUT/$name.txt"
+  rc=$?
+  echo "rc=$rc (see $OUT/$name.txt)"; tail -2 "$OUT/$name.txt"
+  return $rc
 }
 
-# 0. tunnel sanity
-run probe 120 python -c "import jax; x=jax.numpy.ones((256,256)); print(float((x@x).sum()), jax.devices())"
-grep -q "TPU\|axon" "$OUT/probe.txt" || { echo "TPU not available; aborting"; exit 1; }
+# 0. tunnel sanity: the probe itself exits nonzero unless a non-CPU
+# (TPU) device ran the op -- string-grepping the transcript would
+# false-pass on jax's 'Unable to initialize backend tpu' warning
+run probe 120 python -c "
+import sys
+import jax
+x = jax.numpy.ones((256, 256))
+print(float((x @ x).sum()), jax.devices())
+sys.exit(0 if jax.devices()[0].platform.lower() != 'cpu' else 1)
+" || { echo "TPU not available; aborting"; exit 1; }
 
 # 1. headline bench (the driver's metric)
 run bench 900 python bench.py

@@ -29,9 +29,11 @@ REF_SRC = "/root/reference/src"
 def ref_path():
     sys.path.insert(0, REF_SRC)
     np.int = int  # reference code predates numpy 1.24
+    np.object = object  # collate_batch dtype check (BaseModel.py:146)
     yield
     sys.path.remove(REF_SRC)
     del np.int
+    del np.object
 
 
 def ns(**kw):
@@ -253,3 +255,93 @@ def test_kda_feed_parity(kg_root):
         H = len(fd["history_delta_t"])
         np.testing.assert_allclose(ours_dt[j, :H], fd["history_delta_t"],
                                    atol=1e-5, err_msg=f"delta_t row {j}")
+
+
+def test_din_pipeline_parity(tmp_path):
+    """End-to-end pipeline parity for the DIN family: the SAME corpus
+    flows through both frameworks' FULL data paths -- the reference's
+    ContextSeqReader -> Dataset._get_feed_dict -> collate_batch vs our
+    ContextSeqReader -> ContextSeqCTRBatcher.eval_feed -- into the same
+    (weight-ported) model, and every dev-row prediction must match.
+    This pins the feature joins, history assembly, and row alignment of
+    the real batcher, not a hand-built feed."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from helpers.ContextSeqReader import ContextSeqReader as RefReader
+    from models.context_seq.DIN import DINCTR as TorchDIN
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.data.context import build_schema, is_categorical
+    from rechorus_tpu.registry import get_model
+
+    make_ctr_dataset(str(tmp_path / "SynthCTR"))
+    flags = dict(include_item_features=1, include_user_features=1,
+                 include_situation_features=1)
+    ref_corpus = RefReader(ns(path=str(tmp_path), dataset="SynthCTR", sep="\t", **flags))
+    ours_corpus = registry.get_reader("ContextSeqReader")(
+        ns(path=str(tmp_path), dataset="SynthCTR", sep="\t", **flags))
+
+    H = 5
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=0,
+        dropout=0.0, test_all=0, emb_size=16, history_max=H,
+        att_layers="[32]", dnn_layers="[24]", add_historical_situations=0,
+        loss_n="BCE")
+    torch.manual_seed(0)
+    ref = TorchDIN(rargs, ref_corpus).eval()
+
+    args = ns(emb_size=16, att_layers="[32]", dnn_layers="[24]",
+              add_historical_situations=0, loss_n="BCE", dropout=0.0,
+              test_all=0, num_neg=0, model_path="", buffer=1, history_max=H,
+              host_shard_input=0)
+    model_cls = get_model("DINCTR")
+    model = model_cls.from_args(args, ours_corpus)
+
+    # port the torch weights (same mapping as test_weight_port's DIN test)
+    schema = build_schema(ours_corpus)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    fused = np.zeros((schema.total_vocab, 16), dtype=np.float32)
+    params = {}
+    for name, off in zip(schema.names, schema.offsets):
+        if is_categorical(name):
+            w = ref.embedding_dict[name].weight.detach().numpy()
+            fused[off: off + w.shape[0]] = w
+        else:
+            params[f"float_{name}"] = {
+                "kernel": ref.embedding_dict[name].weight.detach().numpy().T}
+    params["fused_table"] = {"embedding": fused}
+    params["att_mlp_layers"] = {
+        "dense_0": {"kernel": sd["att_mlp_layers.mlp.0.weight"].T,
+                    "bias": sd["att_mlp_layers.mlp.0.bias"]},
+        "head": {"kernel": sd["att_mlp_layers.mlp.2.weight"].T,
+                 "bias": sd["att_mlp_layers.mlp.2.bias"]},
+    }
+    params["dnn_mlp_layers"] = {
+        "dense_0": {"kernel": sd["dnn_mlp_layers.mlp.0.weight"].T,
+                    "bias": sd["dnn_mlp_layers.mlp.0.bias"]},
+        "bn_0": {"scale": sd["dnn_mlp_layers.mlp.1.weight"],
+                 "bias": sd["dnn_mlp_layers.mlp.1.bias"]},
+        "dice_0": {"alpha": sd["dnn_mlp_layers.mlp.2.alpha"],
+                   "bn": {"scale": sd["dnn_mlp_layers.mlp.2.bn.weight"],
+                          "bias": sd["dnn_mlp_layers.mlp.2.bn.bias"]}},
+        "head": {"kernel": sd["dnn_mlp_layers.mlp.3.weight"].T,
+                 "bias": sd["dnn_mlp_layers.mlp.3.bias"]},
+    }
+
+    # reference pipeline: Dataset -> feed dicts -> collate -> forward
+    ref_ds = TorchDIN.Dataset(ref, ref_corpus, "dev")
+    batch = ref_ds.collate_batch([ref_ds._get_feed_dict(j) for j in range(len(ref_ds))])
+    with torch.no_grad():
+        ref_pred = ref(batch)["prediction"].numpy().reshape(-1)
+
+    # our pipeline: batcher feeds straight from the corpus
+    batcher = get_batcher(model_cls.batcher)(ours_corpus, model, "dev", args)
+    assert len(batcher) == len(ref_ds)
+    feed = batcher.eval_feed(batcher.device_arrays(), jnp.arange(len(batcher)))
+    variables = model.init({"params": jax.random.key(0)}, feed, training=False)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    out = model.apply({"params": params, **extra}, feed, training=False)
+    np.testing.assert_allclose(np.asarray(out["prediction"]).reshape(-1),
+                               ref_pred, atol=2e-5)

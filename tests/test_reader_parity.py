@@ -345,3 +345,68 @@ def test_din_pipeline_parity(tmp_path):
     out = model.apply({"params": params, **extra}, feed, training=False)
     np.testing.assert_allclose(np.asarray(out["prediction"]).reshape(-1),
                                ref_pred, atol=2e-5)
+
+
+def test_sasrec_pipeline_parity(kg_root):
+    """End-to-end pipeline parity for the sequential top-k path: the
+    reference's SeqReader -> SequentialModel.Dataset -> collate vs our
+    SeqReader -> SequentialBatcher, into the weight-ported SASRec, on
+    identical dev rows (candidates = [target | logged neg_items])."""
+    import types
+
+    import jax.numpy as jnp
+    from helpers.SeqReader import SeqReader as RefSeqReader
+    from models.sequential.SASRec import SASRec as TorchSASRec
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.registry import get_model
+
+    ref_corpus = RefSeqReader(ns(path=str(kg_root), dataset="SynthKG_ref", sep="\t"))
+    ours_corpus = registry.get_reader("SeqReader")(
+        ns(path=str(kg_root), dataset="SynthKG", sep="\t"))
+
+    H = 8
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=1,
+        dropout=0.0, test_all=0, emb_size=16, history_max=H,
+        num_layers=1, num_heads=2)
+    torch.manual_seed(0)
+    ref = TorchSASRec(rargs, ref_corpus).eval()
+
+    args = ns(emb_size=16, num_layers=1, num_heads=2, num_neg=1, dropout=0.0,
+              test_all=0, model_path="", buffer=1, history_max=H,
+              host_shard_input=0)
+    model_cls = get_model("SASRec")
+    model = model_cls.from_args(args, ours_corpus)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    blk = "transformer_block.0."
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "p_embeddings": {"embedding": sd["p_embeddings.weight"]},
+        "transformer_0": {
+            "mha": {
+                "q": {"kernel": sd[blk + "masked_attn_head.q_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.q_linear.bias"]},
+                "k": {"kernel": sd[blk + "masked_attn_head.k_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.k_linear.bias"]},
+                "v": {"kernel": sd[blk + "masked_attn_head.v_linear.weight"].T,
+                      "bias": sd[blk + "masked_attn_head.v_linear.bias"]},
+            },
+            "ln1": {"scale": sd[blk + "layer_norm1.weight"], "bias": sd[blk + "layer_norm1.bias"]},
+            "ff1": {"kernel": sd[blk + "linear1.weight"].T, "bias": sd[blk + "linear1.bias"]},
+            "ff2": {"kernel": sd[blk + "linear2.weight"].T, "bias": sd[blk + "linear2.bias"]},
+            "ln2": {"scale": sd[blk + "layer_norm2.weight"], "bias": sd[blk + "layer_norm2.bias"]},
+        },
+    }
+
+    ref_ds = TorchSASRec.Dataset(ref, ref_corpus, "dev")
+    batch = ref_ds.collate_batch([ref_ds._get_feed_dict(j) for j in range(len(ref_ds))])
+    with torch.no_grad():
+        ref_pred = ref(batch)["prediction"].numpy()
+
+    batcher = get_batcher(model_cls.batcher)(ours_corpus, model, "dev", args)
+    assert len(batcher) == len(ref_ds)
+    feed = batcher.eval_feed(batcher.device_arrays(), jnp.arange(len(batcher)))
+    out = model.apply({"params": params}, feed, training=False)
+    np.testing.assert_allclose(np.asarray(out["prediction"]), ref_pred, atol=2e-5)

@@ -410,3 +410,71 @@ def test_sasrec_pipeline_parity(kg_root):
     feed = batcher.eval_feed(batcher.device_arrays(), jnp.arange(len(batcher)))
     out = model.apply({"params": params}, feed, training=False)
     np.testing.assert_allclose(np.asarray(out["prediction"]), ref_pred, atol=2e-5)
+
+
+def test_impression_pipeline_parity(tmp_path):
+    """End-to-end pipeline + metric parity for the impression path: the
+    reference's ImpressionReader -> ImpressionModel.Dataset -> DataLoader
+    -> ImpressionRunner.evaluate vs our ImpressionReader ->
+    ImpressionBatcher -> ImpressionRunner.evaluate, with the same
+    weight-ported BPRMFImpression. The listwise HR/NDCG/MAP must match
+    exactly (metrics are order-invariant over the documented
+    set-iteration candidate-order deviation)."""
+    import types
+
+    from helpers.ImpressionReader import ImpressionReader as RefReader
+    from helpers.ImpressionRunner import ImpressionRunner as RefRunner
+    from models.general.BPRMF import BPRMFImpression as TorchBPRMFImp
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.registry import get_model, get_runner
+
+    make_impression_dataset(str(tmp_path / "SynthImp"))
+    ref_corpus = RefReader(ns(path=str(tmp_path), dataset="SynthImp", sep="\t",
+                              impression_idkey="time"))
+    ours_corpus = registry.get_reader("ImpressionReader")(
+        ns(path=str(tmp_path), dataset="SynthImp", sep="\t", impression_idkey="time"))
+
+    # the reference's evaluate_method builds its label matrix 2*pos_cap
+    # wide and take_along_axis'es with full-width sort indices -- it
+    # implicitly requires pos and neg caps to be EQUAL (its demo configs
+    # use 20/20), so use symmetric caps above the data maxima
+    caps = dict(train_max_pos_item=10, train_max_neg_item=10,
+                test_max_pos_item=10, test_max_neg_item=10)
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=0,
+        dropout=0.0, test_all=0, emb_size=16, loss_n="BPR", **caps)
+    torch.manual_seed(0)
+    ref = TorchBPRMFImp(rargs, ref_corpus).eval()
+
+    run_args = types.SimpleNamespace(
+        epoch=1, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-3, l2=0.0,
+        batch_size=64, eval_batch_size=64, optimizer="Adam", num_workers=0,
+        pin_memory=0, topk="3", metric="HR,NDCG,MAP", main_metric="",
+        model_path="", random_seed=0, train=1, log_file="/tmp/ref_imp.log")
+    ref_runner = RefRunner(run_args)
+    ref_ds = TorchBPRMFImp.Dataset(ref, ref_corpus, "dev")
+    with torch.no_grad():
+        ref_res = ref_runner.evaluate(ref_ds, [3], ["HR", "NDCG", "MAP"])
+
+    args = ns(emb_size=16, loss_n="BPR", num_neg=0, dropout=0.0, test_all=0,
+              model_path="", buffer=1, host_shard_input=0, **caps)
+    model_cls = get_model("BPRMF", "Impression")
+    model = model_cls.from_args(args, ours_corpus)
+    runner = get_runner(model_cls.runner)(run_args)
+    batchers = {p: get_batcher(model_cls.batcher)(ours_corpus, model, p, args)
+                for p in ["train", "dev"]}
+    arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], 0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    import jax.numpy as jnp
+
+    state = state.replace(params={
+        "u_embeddings": {"embedding": jnp.asarray(sd["u_embeddings.weight"])},
+        "i_embeddings": {"embedding": jnp.asarray(sd["i_embeddings.weight"])}})
+    ours_res = runner.evaluate(state, model, batchers["dev"], arrays["dev"],
+                               "dev", [3], ["HR", "NDCG", "MAP"])
+
+    assert set(ours_res) == set(ref_res)
+    for k in ref_res:
+        np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-6, err_msg=k)

@@ -478,3 +478,83 @@ def test_impression_pipeline_parity(tmp_path):
     assert set(ours_res) == set(ref_res)
     for k in ref_res:
         np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-6, err_msg=k)
+
+
+def test_ctr_pipeline_parity(tmp_path):
+    """End-to-end pipeline + metric parity for the CTR path: the
+    reference's ContextReader -> FMCTR.Dataset -> DataLoader ->
+    CTRRunner.evaluate vs our ContextReader -> ContextCTRBatcher ->
+    CTRRunner.evaluate, with the same weight-ported FM: AUC / LOG_LOSS /
+    ACC / F1 must match."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from helpers.ContextReader import ContextReader as RefReader
+    from helpers.CTRRunner import CTRRunner as RefRunner
+    from models.context.FM import FMCTR as TorchFM
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.data.context import build_schema, is_categorical
+    from rechorus_tpu.registry import get_model, get_runner
+
+    make_ctr_dataset(str(tmp_path / "SynthCTR"))
+    flags = dict(include_item_features=1, include_user_features=1,
+                 include_situation_features=1)
+    ref_corpus = RefReader(ns(path=str(tmp_path), dataset="SynthCTR", sep="\t", **flags))
+    ours_corpus = registry.get_reader("ContextReader")(
+        ns(path=str(tmp_path), dataset="SynthCTR", sep="\t", **flags))
+
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=0,
+        dropout=0.0, test_all=0, emb_size=16, loss_n="BCE")
+    torch.manual_seed(0)
+    ref = TorchFM(rargs, ref_corpus).eval()
+
+    run_args = types.SimpleNamespace(
+        epoch=1, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-3, l2=0.0,
+        batch_size=64, eval_batch_size=64, optimizer="Adam", num_workers=0,
+        pin_memory=0, topk="5", metric="AUC,LOG_LOSS,ACC,F1_SCORE",
+        main_metric="", model_path="", random_seed=0, train=1,
+        log_file="/tmp/ref_ctr.log")
+    ref_runner = RefRunner(run_args)
+    ref_ds = TorchFM.Dataset(ref, ref_corpus, "dev")
+    with torch.no_grad():
+        ref_res = ref_runner.evaluate(ref_ds, [5], ["AUC", "LOG_LOSS", "ACC", "F1_SCORE"])
+
+    args = ns(emb_size=16, loss_n="BCE", num_neg=0, dropout=0.0, test_all=0,
+              model_path="", buffer=1, host_shard_input=0)
+    model_cls = get_model("FM", "CTR")
+    model = model_cls.from_args(args, ours_corpus)
+    runner = get_runner(model_cls.runner)(run_args)
+    batchers = {p: get_batcher(model_cls.batcher)(ours_corpus, model, p, args)
+                for p in ["train", "dev"]}
+    arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], 0)
+
+    # port the FM tables (same mapping as test_weight_port._port_fm_tables)
+    schema = build_schema(ours_corpus)
+    d = 16
+    fused = np.zeros((schema.total_vocab, d), dtype=np.float32)
+    fused_lin = np.zeros((schema.total_vocab, 1), dtype=np.float32)
+    bank = {}
+    fj = 0
+    for name, off in zip(schema.names, schema.offsets):
+        if is_categorical(name):
+            w = ref.context_embedding[name].weight.detach().numpy()
+            fused[off: off + w.shape[0]] = w
+            fused_lin[off: off + w.shape[0]] = ref.linear_embedding[name].weight.detach().numpy()
+        else:
+            bank[f"float_emb_{fj}"] = {"kernel": ref.context_embedding[name].weight.detach().numpy().T}
+            bank[f"float_lin_{fj}"] = {"kernel": ref.linear_embedding[name].weight.detach().numpy().T}
+            fj += 1
+    bank["fused_table"] = {"embedding": jnp.asarray(fused)}
+    bank["fused_linear"] = {"embedding": jnp.asarray(fused_lin)}
+    state = state.replace(params={"bank": bank,
+                                  "overall_bias": jnp.asarray(ref.overall_bias.detach().numpy())})
+    ours_res = runner.evaluate(state, model, batchers["dev"], arrays["dev"],
+                               "dev", [5], ["AUC", "LOG_LOSS", "ACC", "F1_SCORE"])
+
+    assert set(ours_res) == set(ref_res)
+    for k in ref_res:
+        np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-5, err_msg=k)

@@ -10,6 +10,14 @@ ranker's forward INSIDE DataLoader collate on GPU (BaseRerankerModel.py:
 70-84, forcing --num_workers 0); here the ranker forward is the FIRST
 STAGE OF THE JITTED STEP -- its params are closed-over device constants,
 XLA fuses ranker + reranker into one program.
+
+Documented reference bug this module does NOT reproduce: every reference
+reranker's __init__ ends with `self.apply(self.init_weights)` AFTER
+RerankModel.__init__ loaded the frozen ranker (e.g. PRM.py:55 via
+_base_init), re-randomizing the loaded checkpoint -- the reference's
+rerankers run over a random frozen first stage. With that clobbering
+undone, both pipelines produce identical metrics under ported weights
+(tests/test_reader_parity.py::test_rerank_pipeline_parity).
 """
 from __future__ import annotations
 

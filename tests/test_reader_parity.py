@@ -730,3 +730,69 @@ def test_cfkg_pipeline_parity(kg_root):
     assert set(ours_res) == set(ref_res)
     for k in ref_res:
         np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-6, err_msg=k)
+
+
+def test_chorus_pipeline_parity(kg_root, tmp_path, monkeypatch):
+    """End-to-end pipeline parity for the two-stage temporal-kernel path:
+    Chorus dev eval (category ids + relational intervals built by the
+    reference Dataset loops vs our chorus batcher's device kernels)
+    through both BaseRunners with ported weights."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from helpers.BaseRunner import BaseRunner as RefRunner
+    from helpers.KGReader import KGReader as RefKGReader
+    from models.sequential.Chorus import Chorus as TorchChorus
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.registry import get_model, get_runner
+
+    monkeypatch.chdir(tmp_path)  # reference derives ../model/Chorus paths
+    ref_corpus = RefKGReader(ns(path=str(kg_root), dataset="SynthKG_ref",
+                                sep="\t", include_attr=0))
+    ours_corpus = registry.get_reader("KGReader")(
+        ns(path=str(kg_root), dataset="SynthKG", sep="\t", include_attr=0))
+
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=1,
+        dropout=0.0, test_all=0, emb_size=16, history_max=10, stage=1,
+        base_method="BPR", time_scalar=60 * 60 * 24, category_col="i_category_c",
+        lr_scale=0.1, margin=1.0, lr=1e-3)
+    torch.manual_seed(0)
+    ref = TorchChorus(rargs, ref_corpus).eval()
+
+    run_args = types.SimpleNamespace(
+        epoch=1, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-3, l2=0.0,
+        batch_size=64, eval_batch_size=64, optimizer="Adam", num_workers=0,
+        pin_memory=0, topk="3,5", metric="HR,NDCG", main_metric="",
+        model_path="", random_seed=0, train=1, log_file="/tmp/ref_chorus.log")
+    ref_runner = RefRunner(run_args)
+    ref_ds = TorchChorus.Dataset(ref, ref_corpus, "dev")
+    with torch.no_grad():
+        ref_res = ref_runner.evaluate(ref_ds, [3, 5], ["HR", "NDCG"])
+
+    args = ns(emb_size=16, stage=1, base_method="BPR", time_scalar=60 * 60 * 24,
+              category_col="i_category_c", lr_scale=0.1, margin=1.0,
+              num_neg=1, dropout=0.0, test_all=0, buffer=1, history_max=10,
+              host_shard_input=0, random_seed=0, dataset="SynthKG",
+              model_path=str(tmp_path / "m.bin"))
+    model_cls = get_model("Chorus")
+    model = model_cls.from_args(args, ours_corpus)
+    runner = get_runner(model_cls.runner)(run_args)
+    batchers = {p: get_batcher(model_cls.batcher)(ours_corpus, model, p, args)
+                for p in ["train", "dev"]}
+    arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], 0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {name: sd[f"{name}.weight"]
+              for name in ("u_embeddings", "i_embeddings", "r_embeddings",
+                           "betas", "mus", "sigmas", "user_bias", "item_bias")}
+    params["prediction_w"] = sd["prediction.weight"].T
+    state = state.replace(params=jax.tree.map(jnp.asarray, params))
+    ours_res = runner.evaluate(state, model, batchers["dev"], arrays["dev"],
+                               "dev", [3, 5], ["HR", "NDCG"])
+
+    assert set(ours_res) == set(ref_res)
+    for k in ref_res:
+        np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-6, err_msg=k)

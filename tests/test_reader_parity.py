@@ -796,3 +796,79 @@ def test_chorus_pipeline_parity(kg_root, tmp_path, monkeypatch):
     assert set(ours_res) == set(ref_res)
     for k in ref_res:
         np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-6, err_msg=k)
+
+
+def test_kda_pipeline_parity(kg_root):
+    """End-to-end pipeline parity for the flagship KDA: dev eval through
+    the reference's KDAReader/Dataset/BaseRunner vs our KDAReader/kda
+    batcher/BaseRunner with ported weights (freq_rand=1 so the DFT init
+    is bypassed on both sides -- the ported tables carry the state)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from helpers.BaseRunner import BaseRunner as RefRunner
+    from helpers.KDAReader import KDAReader as RefKDAReader
+    from models.sequential.KDA import KDA as TorchKDA
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.registry import get_model, get_runner
+
+    common = dict(sep="\t", include_attr=1, t_scalar=60, n_dft=16, freq_rand=1,
+                  regenerate=0)
+    ref_corpus = RefKDAReader(ns(path=str(kg_root), dataset="SynthKG_ref", **common))
+    ours_corpus = registry.get_reader("KDAReader")(
+        ns(path=str(kg_root), dataset="SynthKG", **common))
+
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=1,
+        dropout=0.0, test_all=0, emb_size=16, history_max=10, num_layers=1,
+        num_heads=2, n_dft=16, freq_rand=1, gamma=0.5, attention_size=10,
+        pooling="average", include_val=1, neg_head_p=0.5)
+    torch.manual_seed(0)
+    ref = TorchKDA(rargs, ref_corpus).eval()
+
+    run_args = types.SimpleNamespace(
+        epoch=1, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-3, l2=0.0,
+        batch_size=64, eval_batch_size=64, optimizer="Adam", num_workers=0,
+        pin_memory=0, topk="3,5", metric="HR,NDCG", main_metric="",
+        model_path="", random_seed=0, train=1, log_file="/tmp/ref_kda.log")
+    ref_runner = RefRunner(run_args)
+    ref_ds = TorchKDA.Dataset(ref, ref_corpus, "dev")
+    with torch.no_grad():
+        ref_res = ref_runner.evaluate(ref_ds, [3, 5], ["HR", "NDCG"])
+
+    args = ns(emb_size=16, num_layers=1, num_heads=2, gamma=0.5,
+              attention_size=10, pooling="average", include_val=1,
+              neg_head_p=0.5, t_scalar=60, freq_rand=1, num_neg=1,
+              dropout=0.0, test_all=0, model_path="", buffer=1,
+              history_max=10, host_shard_input=0, random_seed=0)
+    model_cls = get_model("KDA")
+    model = model_cls.from_args(args, ours_corpus)
+    runner = get_runner(model_cls.runner)(run_args)
+    batchers = {p: get_batcher(model_cls.batcher)(ours_corpus, model, p, args)
+                for p in ["train", "dev"]}
+    arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], 0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "user_embeddings": {"embedding": sd["user_embeddings.weight"]},
+        "entity_embeddings": {"embedding": sd["entity_embeddings.weight"]},
+        "relation_embeddings": sd["relation_embeddings.weight"],
+        "freq_real": sd["relational_dynamic_aggregation.freq_real.weight"],
+        "freq_imag": sd["relational_dynamic_aggregation.freq_imag.weight"],
+        "item_bias": {"embedding": sd["item_bias.weight"]},
+        "attn_0": {"q": {"kernel": sd["attn_head.q_linear.weight"].T},
+                   "k": {"kernel": sd["attn_head.k_linear.weight"].T},
+                   "v": {"kernel": sd["attn_head.v_linear.weight"].T}},
+        "w1_0": {"kernel": sd["W1.weight"].T, "bias": sd["W1.bias"]},
+        "w2_0": {"kernel": sd["W2.weight"].T, "bias": sd["W2.bias"]},
+        "ln_0": {"scale": sd["layer_norm.weight"], "bias": sd["layer_norm.bias"]},
+    }
+    state = state.replace(params=jax.tree.map(jnp.asarray, params))
+    ours_res = runner.evaluate(state, model, batchers["dev"], arrays["dev"],
+                               "dev", [3, 5], ["HR", "NDCG"])
+
+    assert set(ours_res) == set(ref_res)
+    for k in ref_res:
+        np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-6, err_msg=k)

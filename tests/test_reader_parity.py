@@ -872,3 +872,82 @@ def test_kda_pipeline_parity(kg_root):
     assert set(ours_res) == set(ref_res)
     for k in ref_res:
         np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-6, err_msg=k)
+
+
+def test_tisasrec_pipeline_parity(kg_root):
+    """End-to-end pipeline parity for the time-interval-aware path:
+    TiSASRec dev eval through both full stacks, pinning the batcher's
+    per-user minimum-interval computation (reference TiSASRec.py:47-52)
+    and the history-times feed against the reference Dataset."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from helpers.BaseRunner import BaseRunner as RefRunner
+    from helpers.SeqReader import SeqReader as RefSeqReader
+    from models.sequential.TiSASRec import TiSASRec as TorchTiSASRec
+
+    from rechorus_tpu.data.batching import get_batcher
+    from rechorus_tpu.registry import get_model, get_runner
+
+    ref_corpus = RefSeqReader(ns(path=str(kg_root), dataset="SynthKG_ref", sep="\t"))
+    ours_corpus = registry.get_reader("SeqReader")(
+        ns(path=str(kg_root), dataset="SynthKG", sep="\t"))
+
+    H, T_MAX = 8, 16
+    rargs = types.SimpleNamespace(
+        device=torch.device("cpu"), model_path="", buffer=0, num_neg=1,
+        dropout=0.0, test_all=0, emb_size=16, history_max=H,
+        num_layers=1, num_heads=2, time_max=T_MAX)
+    torch.manual_seed(0)
+    ref = TorchTiSASRec(rargs, ref_corpus).eval()
+
+    run_args = types.SimpleNamespace(
+        epoch=1, check_epoch=0, test_epoch=-1, early_stop=10, lr=1e-3, l2=0.0,
+        batch_size=64, eval_batch_size=64, optimizer="Adam", num_workers=0,
+        pin_memory=0, topk="3,5", metric="HR,NDCG", main_metric="",
+        model_path="", random_seed=0, train=1, log_file="/tmp/ref_tisas.log")
+    ref_runner = RefRunner(run_args)
+    ref_ds = TorchTiSASRec.Dataset(ref, ref_corpus, "dev")
+    with torch.no_grad():
+        ref_res = ref_runner.evaluate(ref_ds, [3, 5], ["HR", "NDCG"])
+
+    args = ns(emb_size=16, num_layers=1, num_heads=2, time_max=T_MAX,
+              num_neg=1, dropout=0.0, test_all=0, model_path="", buffer=1,
+              history_max=H, host_shard_input=0, random_seed=0)
+    model_cls = get_model("TiSASRec")
+    model = model_cls.from_args(args, ours_corpus)
+    runner = get_runner(model_cls.runner)(run_args)
+    batchers = {p: get_batcher(model_cls.batcher)(ours_corpus, model, p, args)
+                for p in ["train", "dev"]}
+    arrays = {p: runner.place_arrays(b.device_arrays()) for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], 0)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    blk = "transformer_block.0."
+    params = {
+        "i_embeddings": {"embedding": sd["i_embeddings.weight"]},
+        "p_k_embeddings": {"embedding": sd["p_k_embeddings.weight"]},
+        "p_v_embeddings": {"embedding": sd["p_v_embeddings.weight"]},
+        "t_k_embeddings": {"embedding": sd["t_k_embeddings.weight"]},
+        "t_v_embeddings": {"embedding": sd["t_v_embeddings.weight"]},
+        "block_0": {
+            "q": {"kernel": sd[blk + "masked_attn_head.q_linear.weight"].T,
+                  "bias": sd[blk + "masked_attn_head.q_linear.bias"]},
+            "k": {"kernel": sd[blk + "masked_attn_head.k_linear.weight"].T,
+                  "bias": sd[blk + "masked_attn_head.k_linear.bias"]},
+            "v": {"kernel": sd[blk + "masked_attn_head.v_linear.weight"].T,
+                  "bias": sd[blk + "masked_attn_head.v_linear.bias"]},
+            "ln1": {"scale": sd[blk + "layer_norm1.weight"], "bias": sd[blk + "layer_norm1.bias"]},
+            "ff1": {"kernel": sd[blk + "linear1.weight"].T, "bias": sd[blk + "linear1.bias"]},
+            "ff2": {"kernel": sd[blk + "linear2.weight"].T, "bias": sd[blk + "linear2.bias"]},
+            "ln2": {"scale": sd[blk + "layer_norm2.weight"], "bias": sd[blk + "layer_norm2.bias"]},
+        },
+    }
+    state = state.replace(params=jax.tree.map(jnp.asarray, params))
+    ours_res = runner.evaluate(state, model, batchers["dev"], arrays["dev"],
+                               "dev", [3, 5], ["HR", "NDCG"])
+
+    assert set(ours_res) == set(ref_res)
+    for k in ref_res:
+        np.testing.assert_allclose(ours_res[k], ref_res[k], atol=1e-6, err_msg=k)

@@ -63,6 +63,49 @@ CONFIGS = {
                                   "--loss_n", "BPR", "--metric", "NDCG,HR",
                                   "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthImpBig"),
     ],
+    # ImpressionSeq: dual pos/neg per-user histories (GRU4RecImpression)
+    "impression_seq": [
+        ("GRU4Rec", "Impression", ["--emb_size", "32", "--hidden_size", "32",
+                                   "--history_max", "10", "--lr", "1e-3", "--l2", "1e-6",
+                                   "--loss_n", "BPR", "--metric", "NDCG,HR",
+                                   "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthImpBig"),
+    ],
+    # context models under the ranking protocol (TopK mode classes)
+    "context_topk": [
+        ("FM", "TopK", ["--emb_size", "32", "--lr", "5e-3", "--l2", "1e-6",
+                        "--num_neg", "1", "--metric", "NDCG,HR",
+                        "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthCTRBig"),
+        ("DCNv2", "TopK", ["--emb_size", "32", "--layers", "[32]", "--cross_layer_num", "2",
+                           "--mixed", "1", "--structure", "parallel", "--low_rank", "16",
+                           "--expert_num", "2", "--lr", "5e-3", "--l2", "1e-6",
+                           "--num_neg", "1", "--metric", "NDCG,HR",
+                           "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthCTRBig"),
+    ],
+    # long-history retrieval CTR models. NB documented deviations
+    # (models/context_seq/eta.py:9-15, sdim long-window mask): training
+    # trajectories share the same objective but not bit-identical
+    # attention windows; agreement is band-level, any gap must be
+    # explained by those deviations.
+    "ctr_long": [
+        ("ETA", "CTR", ["--emb_size", "32", "--dnn_hidden_units", "[32]",
+                        "--attention_dim", "16", "--num_heads", "2",
+                        "--retrieval_k", "3", "--recent_k", "3", "--num_hashes", "2",
+                        "--hash_bits", "8", "--history_max", "10",
+                        "--lr", "5e-3", "--l2", "1e-6", "--loss_n", "BCE",
+                        "--metric", "AUC,LOG_LOSS"], "SynthCTRBig"),
+        ("SDIM", "CTR", ["--emb_size", "32", "--dnn_hidden_units", "[32]",
+                         "--attention_dim", "16", "--num_heads", "2",
+                         "--num_hashes", "2", "--hash_bits", "4", "--recent_k", "3",
+                         "--history_max", "10",
+                         "--lr", "5e-3", "--l2", "1e-6", "--loss_n", "BCE",
+                         "--metric", "AUC,LOG_LOSS"], "SynthCTRBig"),
+        ("CAN", "CTR", ["--emb_size", "32", "--induce_vec_size", "96", "--orders", "1",
+                        "--co_action_layers", "[4,4]", "--evolving_gru_type", "AUGRU",
+                        "--fcn_hidden_layers", "[32]", "--aux_hidden_layers", "[32]",
+                        "--alpha_aux", "0.1", "--history_max", "10",
+                        "--lr", "5e-3", "--l2", "1e-6", "--loss_n", "BCE",
+                        "--metric", "AUC,LOG_LOSS"], "SynthCTRBig"),
+    ],
 }
 
 COMMON = ["--epoch", "30", "--early_stop", "5", "--num_workers", "0",
@@ -151,6 +194,9 @@ RERANKERS = [
     ("PRM", "General", ["--emb_size", "32", "--n_blocks", "2", "--num_heads", "2",
                         "--num_hidden_unit", "32",
                         "--lr", "1e-3", "--l2", "1e-6"]),
+    ("SetRank", "General", ["--emb_size", "32", "--n_blocks", "2", "--num_heads", "2",
+                            "--num_hidden_unit", "32", "--setrank_type", "IMSAB",
+                            "--lr", "1e-3", "--l2", "1e-6"]),
     ("MIR", "General", ["--emb_size", "32", "--num_heads", "2", "--num_hidden_unit", "32",
                         "--history_max", "10", "--lr", "1e-3", "--l2", "1e-6"]),
 ]
@@ -238,7 +284,7 @@ def main():
                 per_side[side] = runs
             keys = sorted(set().union(*[set(m) for m in per_side["ref"] + per_side["tpu"]])) \
                 if (per_side["ref"] or per_side["tpu"]) else []
-            main_key = ("AUC" if fam == "ctr" else "NDCG@3")
+            main_key = ("AUC" if fam.startswith("ctr") else "NDCG@3")
             for key in keys:
                 if key not in (main_key, "LOG_LOSS", "HR@3"):
                     continue

@@ -75,12 +75,18 @@ def make_ctr_dataset(
     n_groups: int = 4,
     seed: int = 1,
     expose_bias: float = 0.0,
+    topk: bool = False,
 ):
     """CTR rows with learnable labels: click iff user group ~ item category
     (plus noise), item_meta with i_category_c, user_meta with u_group_c,
     situation column c_hour_c. expose_bias > 0 skews each user's exposures
     toward their own group so HISTORY becomes informative (for testing
-    sequential models that predict from history alone)."""
+    sequential models that predict from history alone).
+
+    topk=True emits the reference's ML_1MTOPK contract instead (context
+    top-k protocol, data/README.md:9-33): positive rows only, no label
+    column, dev/test carry a sampled 99-negative ``neg_items`` column
+    (uniform, excluding the user's clicked items)."""
     rng = np.random.default_rng(seed)
     all_items = np.arange(1, n_items + 1)
     rows = []
@@ -105,11 +111,24 @@ def make_ctr_dataset(
             rows.append((u, int(it), int(t0 + j * 86400), label, hour))
     df = pd.DataFrame(rows, columns=["user_id", "item_id", "time", "label", "c_hour_c"])
     df = df.sort_values(by=["time", "user_id"], kind="mergesort").reset_index(drop=True)
+    if topk:
+        df = df[df["label"] == 1].drop(columns=["label"]).reset_index(drop=True)
     # global-time split 80/10/10 (reference CTR datasets use timeline split)
     n = len(df)
     train = df.iloc[: int(n * 0.8)]
     dev = df.iloc[int(n * 0.8) : int(n * 0.9)]
     test = df.iloc[int(n * 0.9) :]
+    if topk:
+        clicked = df.groupby("user_id")["item_id"].agg(set).to_dict()
+        def _negs(split):
+            out = []
+            for u in split["user_id"]:
+                pool = np.setdiff1d(all_items, np.array(sorted(clicked[u])))
+                out.append(str(list(map(int, rng.choice(pool, size=min(99, len(pool)),
+                                                        replace=False)))))
+            return out
+        dev = dev.assign(neg_items=_negs(dev))
+        test = test.assign(neg_items=_negs(test))
     os.makedirs(path, exist_ok=True)
     train.to_csv(os.path.join(path, "train.csv"), sep="\t", index=False)
     dev.to_csv(os.path.join(path, "dev.csv"), sep="\t", index=False)

@@ -145,6 +145,10 @@ def build_stack(args, model_cls, reader_cls, runner_cls):
     # sets the embedding-table row pad, which must precede model init
     runner = runner_cls(args)
     model = model_cls.from_args(args, corpus)
+    # two-stage models redirect the checkpoint to a well-known stage path
+    # inside from_args (Chorus stage 1, reference Chorus.py:68-76); the
+    # runner captured model_path at construction, so refresh it
+    runner.model_path = getattr(args, "model_path", runner.model_path)
     logging.info(model_cls.__name__)
     batcher_cls = get_batcher(model_cls.batcher)
     batchers = {phase: batcher_cls(corpus, model, phase, args) for phase in ["train", "dev", "test"]}

@@ -520,6 +520,21 @@ class BaseRunner:
     def _get_eval_fn(self, model, batcher, phase: str):
         if phase in self._compiled:
             return self._compiled[phase]
+        if getattr(batcher, "test_all", False) and not getattr(model, "supports_catalog", False):
+            # the dense test_all path runs the model forward over a
+            # [B, n_items] candidate axis; its embedding gathers alone are
+            # B*N*d floats. Fail with guidance instead of an XLA OOM
+            # (COVERAGE.md lists the catalog-protocol models).
+            n = batcher.corpus.n_items
+            d = int(getattr(model, "emb_size", 64) or 64)
+            gb = self.eval_batch_size * n * d * 4 / 2**30
+            if gb > 8.0:
+                raise RuntimeError(
+                    f"--test_all with n_items={n} needs ~{gb:.0f} GB through the "
+                    f"dense [B, N] eval path, but {type(model).__name__} does not "
+                    "implement the catalog protocol (supports_catalog). Use a "
+                    "catalog-protocol model (see COVERAGE.md), or lower "
+                    f"--eval_batch_size (currently {self.eval_batch_size}).")
 
         def rank_step(arrays, variables, idx):
             feed = batcher.eval_feed(arrays, idx)

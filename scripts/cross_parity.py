@@ -70,16 +70,19 @@ CONFIGS = {
                                    "--loss_n", "BPR", "--metric", "NDCG,HR",
                                    "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthImpBig"),
     ],
-    # context models under the ranking protocol (TopK mode classes)
+    # context models under the ranking protocol (TopK mode classes).
+    # SynthTOPK = the ML_1MTOPK contract: positive rows + dev/test
+    # neg_items columns (the reference's GeneralModel.Dataset requires
+    # them when test_all=0, BaseModel.py:192-203)
     "context_topk": [
         ("FM", "TopK", ["--emb_size", "32", "--lr", "5e-3", "--l2", "1e-6",
                         "--num_neg", "1", "--metric", "NDCG,HR",
-                        "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthCTRBig"),
+                        "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthTOPK"),
         ("DCNv2", "TopK", ["--emb_size", "32", "--layers", "[32]", "--cross_layer_num", "2",
                            "--mixed", "1", "--structure", "parallel", "--low_rank", "16",
                            "--expert_num", "2", "--lr", "5e-3", "--l2", "1e-6",
                            "--num_neg", "1", "--metric", "NDCG,HR",
-                           "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthCTRBig"),
+                           "--topk", "1,3,5", "--main_metric", "NDCG@3"], "SynthTOPK"),
     ],
     # long-history retrieval CTR models. NB documented deviations
     # (models/context_seq/eta.py:9-15, sdim long-window mask): training
@@ -125,12 +128,16 @@ def gen_data():
     if not os.path.exists(os.path.join(shared, "SynthCTRBig")):
         make_ctr_dataset(os.path.join(shared, "SynthCTRBig"),
                          n_users=400, n_items=120, n_per_user=20, expose_bias=0.6)
+    if not os.path.exists(os.path.join(shared, "SynthTOPK")):
+        make_ctr_dataset(os.path.join(shared, "SynthTOPK"),
+                         n_users=400, n_items=120, n_per_user=20, expose_bias=0.6,
+                         topk=True)
     if not os.path.exists(os.path.join(shared, "SynthImpBig")):
         make_impression_dataset(os.path.join(shared, "SynthImpBig"),
                                 n_users=250, n_items=120, n_impressions=10,
                                 noise=0.3)
     for side in ("ref", "tpu"):
-        for ds in ("SynthCTRBig", "SynthImpBig"):
+        for ds in ("SynthCTRBig", "SynthTOPK", "SynthImpBig"):
             dst = os.path.join(WORK, side, ds)
             if not os.path.exists(dst):
                 shutil.copytree(os.path.join(shared, ds), dst)

@@ -1,0 +1,229 @@
+"""Golden demo-command EXECUTION tier (VERDICT r2 item 5).
+
+test_cli_compat.py proves all 92 reference demo commands *parse*; this
+suite EXECUTES a golden subset spanning every task family end-to-end
+through ``rechorus_tpu.main`` (subprocess, real CLI surface) and asserts
+(a) the run succeeds, (b) the log grammar parses with the exp.py parser
+(the log format is an API, reference src/exp.py:37-50), and (c) the main
+metric lands in a recorded band -- so arg-wiring or default drift that
+the parser can't see fails loudly.
+
+Commands are VERBATIM from /root/reference/docs/demo_scripts_results/*.sh
+with only these documented substitutions (the golden datasets ML-1M/MIND
+need downloads this image can't make):
+  * Grocery commands run on a deterministic 10%-user subsample
+    (scripts/subsample_grocery.py, seed 42) named identically so the
+    --dataset token is untouched;
+  * ML_1MCTR / ML_1MTOPK become the synthetic context corpus
+    (SynthCTRBig -- same generator config as scripts/cross_parity.py);
+    impression/rerank ML_1MCTR becomes SynthImpBig;
+  * --epoch 2 --early_stop 2 --random_seed 0 control flags appended
+    (argparse last-wins), logs/models under the test tmp dir.
+
+Bands were recorded from this harness at seed 0 and are deliberately
+wide (+-0.05 abs): they catch wiring breaks (which move metrics by 0.1+
+or crash), not trajectory noise. Conftest marks this file `parity`
+(heavy tier).
+"""
+from __future__ import annotations
+
+import os
+import re
+import shlex
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = "/root/reference/docs/demo_scripts_results"
+
+CONTROL = ["--epoch", "2", "--early_stop", "2", "--random_seed", "0",
+           "--num_workers", "0", "--save_final_results", "0"]
+
+# (id, source script:line, verbatim command, corpus kind, band)
+# band = (metric_key, lo, hi) recorded at seed 0 on the substituted corpora.
+GOLDEN = [
+    ("pop", "Topk_Amazon.sh:4",
+     "python main.py --model_name POP --train 0 --dataset 'Grocery_and_Gourmet_Food'",
+     "grocery", ("HR@5", 0.11, 0.21)),
+    ("bprmf", "Topk_Amazon.sh:6",
+     "python main.py --model_name BPRMF --emb_size 64 --lr 1e-3 --l2 1e-6 --dataset 'Grocery_and_Gourmet_Food'",
+     "grocery", ("HR@5", 0.05, 0.16)),
+    ("sasrec", "Topk_Amazon.sh:28",
+     "python main.py --model_name SASRec --emb_size 64 --num_layers 1 --num_heads 1 --lr 1e-4 --l2 1e-6 --history_max 20 --dataset 'Grocery_and_Gourmet_Food'",
+     "grocery", ("HR@5", 0.05, 0.16)),
+    ("kda", "Topk_Amazon.sh:37",
+     "python main.py --model_name KDA --emb_size 64 --include_attr 1 --freq_rand 0 --lr 1e-3 --l2 1e-6 --num_heads 4 --history_max 20 --dataset 'Grocery_and_Gourmet_Food'",
+     "grocery", ("HR@5", 0.10, 0.23)),
+    ("fm_ctr", "CTR_ML1M.sh:4",
+     "python main.py --model_name FM --lr 1e-3 --l2 1e-4 --dataset ML_1MCTR --path ../data/ --num_neg 0 --batch_size 1024 --metric AUC,Log_loss --include_item_features 1 --include_situation_features 1 --model_mode CTR --loss_n BCE",
+     "ctr", ("AUC", 0.48, 0.68)),
+    ("din_ctr", "CTR_ML1M.sh:24",
+     "python main.py --model_name DIN --history_max 20 --lr 5e-4 --l2 1e-4 --dnn_layers \"[512,64]\" --att_layers \"[64]\" --dropout 0.5 --dataset ML_1MCTR --path ../data/ --num_neg 0 --batch_size 1024 --metric AUC,Log_loss --include_item_features 1 --include_situation_features 1 --model_mode CTR --loss_n BCE",
+     "ctr", ("AUC", 0.35, 0.62)),
+    ("fm_topk", "Topk_ML1M.sh:4",
+     "python main.py --model_name FM --lr 1e-3 --l2 0 --dataset ML_1MTOPK --path ../data/ --num_neg 1 --batch_size 256 --eval_batch_size 128 --metric NDCG,HR --topk 3,5,10,20 --include_item_features 1 --include_situation_features 1 --model_mode TopK",
+     "topk", ("NDCG@3", None, None)),
+    ("dien_topk", "Topk_ML1M.sh:26",
+     "python main.py --model_name DIEN --lr 5e-4 --l2 1e-6 --history_max 20 --alpha_aux 0.1 --aux_hidden_layers \"[64]\" --fcn_hidden_layers \"[64]\" --evolving_gru_type AIGRU --dropout 0 --dataset ML_1MTOPK --path ../data/ --num_neg 1 --batch_size 256 --eval_batch_size 32 --metric NDCG,HR --topk 3,5,10,20 --include_item_features 1 --include_situation_features 1 --model_mode TopK",
+     "topk", ("NDCG@3", None, None)),
+    ("sasrec_imp", "Rerank_ML1M.sh:10",
+     "python main.py --model_name SASRec --num_layers 3 --num_heads 2 --history_max 20 --emb_size 64 --lr 2e-4 --l2 1e-6 --loss_n BPR --dataset ML_1MCTR --path ../data/ --metric NDCG,HR --topk 1,2,3,5,10 --main_metric NDCG@2 --model_mode Impression",
+     "imp", ("NDCG@2", 0.25, 0.48)),
+    ("gru4rec_imp", "Rerank_ML1M.sh:8",
+     "python main.py --model_name GRU4Rec --hidden_size 32 --history_max 30 --emb_size 64 --lr 1e-3 --l2 1e-6 --loss_n BPR --dataset ML_1MCTR --path ../data/ --metric NDCG,HR --topk 1,2,3,5,10 --main_metric NDCG@2 --model_mode Impression",
+     "imp", ("NDCG@2", 0.27, 0.48)),
+]
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    root = tmp_path_factory.mktemp("golden")
+    groc_root = root / "grocery"
+    groc = groc_root / "Grocery_and_Gourmet_Food"
+    subprocess.run([sys.executable, os.path.join(REPO, "scripts", "subsample_grocery.py"),
+                    "--frac", "0.10", "--seed", "42", "--out", str(groc)],
+                   check=True, capture_output=True)
+    synth_root = root / "synth"
+    sys.path.insert(0, REPO)
+    from rechorus_tpu.data.synthetic import make_ctr_dataset, make_impression_dataset
+
+    make_ctr_dataset(str(synth_root / "SynthCTRBig"),
+                     n_users=400, n_items=120, n_per_user=20, expose_bias=0.6)
+    make_ctr_dataset(str(synth_root / "SynthTOPK"),
+                     n_users=400, n_items=120, n_per_user=20, expose_bias=0.6, topk=True)
+    make_impression_dataset(str(synth_root / "SynthImpBig"),
+                            n_users=250, n_items=120, n_impressions=10, noise=0.3)
+    return {"grocery": (str(groc_root), "Grocery_and_Gourmet_Food"),
+            "ctr": (str(synth_root), "SynthCTRBig"),
+            "topk": (str(synth_root), "SynthTOPK"),
+            "imp": (str(synth_root), "SynthImpBig"),
+            "root": str(root)}
+
+
+def _substitute(cmd: str, kind: str, corpora) -> list:
+    """Verbatim tokens, with only --path/--dataset redirected."""
+    toks = shlex.split(cmd)[2:]  # drop "python main.py"
+    path, dataset = corpora[kind]
+    out, skip = [], False
+    has_path = False
+    for i, t in enumerate(toks):
+        if skip:
+            skip = False
+            continue
+        if t == "--path":
+            out += ["--path", path]
+            has_path = True
+            skip = True
+        elif t == "--dataset":
+            out += ["--dataset", dataset]
+            skip = True
+        else:
+            out.append(t)
+    if not has_path:
+        out += ["--path", path]
+    return out
+
+
+def _run_main(tokens, workdir, log_file, model_path, timeout=900):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""  # single CPU device: golden runs don't need the virtual mesh
+    cmd = [sys.executable, "-m", "rechorus_tpu.main"] + tokens + CONTROL + [
+        "--log_file", log_file, "--model_path", model_path]
+    r = subprocess.run(cmd, cwd=workdir, capture_output=True, text=True,
+                       timeout=timeout, env=env)
+    text = ""
+    if os.path.exists(log_file):
+        with open(log_file) as f:
+            text = f.read()
+    return r, text
+
+
+def _parse_log(text: str) -> dict:
+    """The exp.py contract: Best Iter line + 'Test After Training' metrics."""
+    from rechorus_tpu.exp import find_info
+
+    info = find_info(text.splitlines())
+    assert info, "log grammar did not parse (exp.py contract broken)"
+    m = re.search(r"Test After Training: \(([^)]*)\)", text)
+    assert m, "no 'Test After Training:' line in log"
+    metrics = {}
+    for kv in m.group(1).split(","):
+        k, v = kv.split(":")
+        metrics[k.strip().replace("@All", "")] = float(v)
+    return metrics
+
+
+@pytest.mark.parametrize("name,src,cmd,kind,band", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_golden_command(name, src, cmd, kind, band, corpora, tmp_path):
+    tokens = _substitute(cmd, kind, corpora)
+    r, text = _run_main(tokens, corpora["root"],
+                        str(tmp_path / f"{name}.log"), str(tmp_path / f"{name}.bin"))
+    assert r.returncode == 0, f"{src} failed rc={r.returncode}\n{(r.stdout + r.stderr)[-3000:]}"
+    metrics = _parse_log(text)
+    key, lo, hi = band
+    assert key in metrics, f"{src}: main metric {key} missing from {metrics}"
+    if lo is None:  # band not yet recorded: finite-sanity only
+        assert 0.0 < metrics[key] <= 1.0, f"{src}: {key}={metrics[key]}"
+    else:
+        assert lo <= metrics[key] <= hi, \
+            f"{src}: {key}={metrics[key]:.4f} outside recorded band [{lo},{hi}] -- wiring drift?"
+
+
+def test_golden_chorus_two_stage(corpora, tmp_path):
+    """Topk_Amazon.sh:32-33 -- the stage-1 KG pretrain must feed stage 2
+    through the well-known checkpoint path (reference Chorus.py:68-76)."""
+    model_dir = tmp_path / "model" / "Chorus"
+    model_dir.mkdir(parents=True)
+    s1 = _substitute(
+        "python main.py --model_name Chorus --emb_size 64 --margin 1 --lr 5e-4 --l2 1e-5"
+        " --epoch 50 --early_stop 0 --batch_size 512 --dataset 'Grocery_and_Gourmet_Food'"
+        " --stage 1", "grocery", corpora)
+    r, _ = _run_main(s1, corpora["root"], str(tmp_path / "chorus1.log"),
+                     str(model_dir / "stage1.bin"))
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    s2 = _substitute(
+        "python main.py --model_name Chorus --emb_size 64 --margin 1 --lr_scale 0.1 --lr 1e-3"
+        " --l2 0 --dataset 'Grocery_and_Gourmet_Food' --base_method 'BPR' --stage 2",
+        "grocery", corpora)
+    r, text = _run_main(s2, corpora["root"], str(tmp_path / "chorus2.log"),
+                        str(model_dir / "stage2.bin"))
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    metrics = _parse_log(text)
+    assert 0.05 <= metrics["HR@5"] <= 0.55, metrics
+
+
+def test_golden_rerank_pair(corpora, tmp_path):
+    """Rerank_ML1M.sh:14-16 protocol: train the impression backbone, save
+    its checkpoint + yaml where the reranker command's --ranker_* flags
+    resolve, then run PRM General over the frozen first stage."""
+    work = tmp_path / "work"
+    rdir = work / "model" / "BPRMFImpression"
+    rdir.mkdir(parents=True)
+    imp = ["--metric", "NDCG,HR", "--topk", "1,2,3,5,10", "--main_metric", "NDCG@2",
+           "--loss_n", "BPR"]
+    backbone = _substitute(
+        "python main.py --model_name BPRMF --emb_size 64 --lr 1e-3 --l2 0 --loss_n BPR"
+        " --dataset ML_1MCTR --path ../data/ --metric NDCG,HR --topk 1,2,3,5,10"
+        " --main_metric NDCG@2 --model_mode Impression", "imp", corpora)
+    r, text = _run_main(backbone, str(work), str(tmp_path / "ranker.log"),
+                        str(rdir / "ranker.bin"))
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    base_metrics = _parse_log(text)
+    (rdir / "ranker.yaml").write_text("emb_size: 64\n")
+    # PRM command from Rerank_ML1M.sh:15 (LightGCN ranker -> our BPRMF backbone)
+    prm = _substitute(
+        "python main.py --model_name PRM --positionafter 1 --num_hidden_unit 256 --emb_size 64"
+        " --n_blocks 4 --num_heads 2 --lr 1e-3 --l2 1e-6 --loss_n BPR --dataset ML_1MCTR"
+        " --path ../data/ --metric NDCG,HR --topk 1,2,3,5,10 --main_metric NDCG@2"
+        " --num_workers 0 --ranker_name BPRMF --ranker_config_file ranker.yaml"
+        " --ranker_model_file ranker.bin --model_mode General", "imp", corpora)
+    r, text = _run_main(prm, str(work), str(tmp_path / "prm.log"),
+                        str(tmp_path / "prm.bin"))
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    prm_metrics = _parse_log(text)
+    # 2-epoch reranker over a 2-epoch backbone: sanity floor, not parity
+    assert prm_metrics["NDCG@2"] >= 0.25, (base_metrics, prm_metrics)

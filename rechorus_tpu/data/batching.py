@@ -226,18 +226,10 @@ def _maybe_neg_history(batcher, feed, key):
         return feed
     hist = feed["history_items"]
     n_items = batcher.corpus.n_items
-
-    def body(i, carry):
-        neg, key = carry
-        key, sub = jax.random.split(key)
-        fresh = jax.random.randint(sub, hist.shape, 1, n_items, dtype=jnp.int32)
-        neg = jnp.where(neg == hist, fresh, neg)
-        return neg, key
-
-    key, sub = jax.random.split(key)
-    neg = jax.random.randint(sub, hist.shape, 1, n_items, dtype=jnp.int32)
-    neg, _ = jax.lax.fori_loop(0, 4, body, (neg, key))
-    feed["history_neg_items"] = neg
+    feed["history_neg_items"] = sampling.first_accepted(
+        key,
+        lambda k: jax.random.randint(k, hist.shape, 1, n_items, dtype=jnp.int32),
+        lambda c: c == hist, rounds=4)
     return feed
 
 
@@ -679,16 +671,7 @@ class CFKGBatcher(Batcher):
                 buy = 1 + (raw - 1) % (buy_hi - 1)
                 return jnp.where(is_buy, buy, raw)
 
-            key, sub = jax.random.split(key)
-            cand = draw(sub)
-
-            def body(i, carry):
-                cand, key = carry
-                key, sub = jax.random.split(key)
-                return jnp.where(bad_fn(cand), draw(sub), cand), key
-
-            cand, _ = jax.lax.fori_loop(0, 8, body, (cand, key))
-            return cand
+            return sampling.first_accepted(key, draw, bad_fn, rounds=8)
 
         k1, k2 = jax.random.split(key)
         # neg tail: buy rows avoid the head-user's clicked items; KG rows
@@ -906,19 +889,10 @@ class KDABatcher(SequentialBatcher):
         t_item = jnp.where(is_attr, arrays["_share_mat"][row, j], t)
 
         def resample(key, bad_fn):
-            def draw(sub):
-                return jax.random.randint(sub, (B, N), 1, n_items, dtype=jnp.int32)
-
-            key, sub = jax.random.split(key)
-            cand = draw(sub)
-
-            def body(i, carry):
-                cand, key = carry
-                key, sub = jax.random.split(key)
-                return jnp.where(bad_fn(cand), draw(sub), cand), key
-
-            cand, _ = jax.lax.fori_loop(0, 8, body, (cand, key))
-            return cand
+            return sampling.first_accepted(
+                key,
+                lambda k: jax.random.randint(k, (B, N), 1, n_items, dtype=jnp.int32),
+                bad_fn, rounds=8)
 
         # negative heads: (h', r, tail-or-val) must not exist
         probe_t = jnp.where(is_attr, val, t_item)
@@ -1106,15 +1080,10 @@ class S3RecBatcher(SequentialBatcher):
         def bad(c):  # negative must not appear anywhere in the row's seq
             return (c[:, :, None] == seq[:, None, :]).any(-1)
 
-        neg = jax.random.randint(k2, (B, H), 1, n_items, dtype=jnp.int32)
-
-        def body(i, carry):
-            neg, k = carry
-            k, sub = jax.random.split(k)
-            fresh = jax.random.randint(sub, (B, H), 1, n_items, dtype=jnp.int32)
-            return jnp.where(bad(neg), fresh, neg), k
-
-        neg, _ = jax.lax.fori_loop(0, 8, body, (neg, k2))
+        neg = sampling.first_accepted(
+            k2,
+            lambda k: jax.random.randint(k, (B, H), 1, n_items, dtype=jnp.int32),
+            bad, rounds=8)
         neg_item = jnp.where(mip_sel, neg, seq)
 
         # ---- SP: mask a contiguous segment; neg segment from the global stream

@@ -42,11 +42,31 @@ def sorted_triplet_keys(relation_df, n_relations: int, n_entities: int) -> np.nd
     return np.sort(np.unique(keys)).astype(np.int32)
 
 
+def searchsorted_unrolled(sorted_arr: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Left `searchsorted` as a STATICALLY UNROLLED binary search.
+
+    jnp.searchsorted compiles to a sequential `while` scan on TPU --
+    profiling (scripts/trace_ops.py) showed its log2(n)-step loops as
+    ~12% of the KDA epoch (3 loops x 304 steps x 19 iterations over the
+    373k-triplet set). Unrolling the fixed depth emits straight-line
+    gathers XLA can fuse and pipeline."""
+    n = sorted_arr.shape[0]
+    lo = jnp.zeros(q.shape, jnp.int32)
+    hi = jnp.full(q.shape, n, jnp.int32)
+    depth = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    for _ in range(depth):
+        mid = (lo + hi) >> 1
+        go_right = sorted_arr[jnp.clip(mid, 0, n - 1)] < q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
 def is_member(sorted_keys: jnp.ndarray, h, r, t, n_relations: int, n_entities: int):
     """Vectorized membership of (h, r, t) in the packed triplet set.
     h/r/t broadcastable int arrays -> bool array of the broadcast shape."""
     q = (h.astype(jnp.int32) * n_relations + r.astype(jnp.int32)) * n_entities + t.astype(jnp.int32)
-    pos = jnp.searchsorted(sorted_keys, q)
+    pos = searchsorted_unrolled(sorted_keys, q)
     pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
     return sorted_keys[pos] == q
 
@@ -121,20 +141,15 @@ def sample_kg_negatives(
     neg_tail ~ U[1, hi_tail) with (h, r, neg_tail) not in KG;
     neg_head ~ U[1, hi_head) with (neg_head, r, t) not in KG.
     """
+    from rechorus_tpu.ops.sampling import first_accepted
+
     B = heads.shape[0]
 
     def resample(key, lo, hi, bad_fn):
-        k0, key = jax.random.split(key)
-        cand = jax.random.randint(k0, (B,), lo, hi, dtype=jnp.int32)
-
-        def body(i, carry):
-            cand, key = carry
-            key, sub = jax.random.split(key)
-            fresh = jax.random.randint(sub, (B,), lo, hi, dtype=jnp.int32)
-            return jnp.where(bad_fn(cand), fresh, cand), key
-
-        cand, _ = jax.lax.fori_loop(0, rounds, body, (cand, key))
-        return cand
+        return first_accepted(
+            key,
+            lambda k: jax.random.randint(k, (B,), lo, hi, dtype=jnp.int32),
+            bad_fn, rounds)
 
     k1, k2 = jax.random.split(key)
     neg_tails = resample(

@@ -14,6 +14,28 @@ import jax
 import jax.numpy as jnp
 
 
+def first_accepted(key: jax.Array, draw_fn, bad_fn, rounds: int = 8):
+    """Vectorized rejection sampling with no device loop: draw rounds+1
+    candidate sets AT ONCE and keep, elementwise, the first accepted draw
+    (last draw if all collide -- same fallback as loop rejection).
+
+    Distributionally identical to `rounds` sequential resampling rounds,
+    but compiles to straight-line fused HLO instead of a `while` loop.
+    Profiling (scripts/trace_ops.py, round 3) showed the sequential loops
+    dominating train steps: ~13% of the BPRMF epoch and ~66% of KDA's
+    (three loops + their triplet binary searches serialized 9x).
+
+    draw_fn(key) -> candidates of shape S; bad_fn(c) -> bool of shape S
+    (it is vmapped over the extra leading round axis, so closures over
+    batch-shaped arrays work unchanged).
+    """
+    R = rounds + 1
+    cand = jax.vmap(draw_fn)(jax.random.split(key, R))  # [R, *S]
+    ok = ~jax.vmap(bad_fn)(cand)                        # [R, *S]
+    first = jnp.where(ok.any(axis=0), jnp.argmax(ok, axis=0), R - 1)
+    return jnp.take_along_axis(cand, first[None].astype(jnp.int32), axis=0)[0]
+
+
 def sample_negatives(
     key: jax.Array,
     users: jnp.ndarray,
@@ -28,7 +50,7 @@ def sample_negatives(
     Returns [B, num_neg] int32. After `rounds` resampling rounds the
     residual collision probability is (|clicked|/n_items)^rounds --
     negligible; distributionally equivalent to the reference's
-    while-loop rejection sampling.
+    while-loop rejection sampling (BaseModel.py:206-214).
     """
     B = users.shape[0]
     clicked = clicked_pad[users]  # [B, M]
@@ -36,18 +58,10 @@ def sample_negatives(
     def collides(neg):
         return (neg[:, :, None] == clicked[:, None, :]).any(axis=-1)
 
-    k0, key = jax.random.split(key)
-    neg = jax.random.randint(k0, (B, num_neg), 1, n_items, dtype=jnp.int32)
-
-    def body(i, carry):
-        neg, key = carry
-        key, sub = jax.random.split(key)
-        fresh = jax.random.randint(sub, (B, num_neg), 1, n_items, dtype=jnp.int32)
-        neg = jnp.where(collides(neg), fresh, neg)
-        return neg, key
-
-    neg, _ = jax.lax.fori_loop(0, rounds, body, (neg, key))
-    return neg
+    return first_accepted(
+        key,
+        lambda k: jax.random.randint(k, (B, num_neg), 1, n_items, dtype=jnp.int32),
+        collides, rounds)
 
 
 def candidate_permutation(key: jax.Array, shape):

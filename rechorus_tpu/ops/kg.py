@@ -53,12 +53,15 @@ def searchsorted_unrolled(sorted_arr: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarra
     n = sorted_arr.shape[0]
     lo = jnp.zeros(q.shape, jnp.int32)
     hi = jnp.full(q.shape, n, jnp.int32)
-    depth = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    # n+1 possible insertion positions -> ceil(log2(n+1)) halvings
+    # (depth log2(n) is one short exactly when n is a power of two)
+    depth = max(1, int(np.ceil(np.log2(n + 1))))
     for _ in range(depth):
         mid = (lo + hi) >> 1
-        go_right = sorted_arr[jnp.clip(mid, 0, n - 1)] < q
+        inside = lo < hi  # converged lanes must stop moving
+        go_right = inside & (sorted_arr[jnp.clip(mid, 0, n - 1)] < q)
         lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
+        hi = jnp.where(inside & ~go_right, mid, hi)
     return lo
 
 

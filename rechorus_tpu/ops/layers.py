@@ -72,7 +72,10 @@ class TableEmbed(nn.Embed):
         if entry is None:
             return jnp.take(table, inputs, axis=0).astype(out_dtype)
         rows, vals = entry  # rows sorted ascending, vals [R, D] f32
-        pos = jnp.searchsorted(rows, inputs, side="left")
+        from rechorus_tpu.ops.kg import searchsorted_unrolled
+
+        # static unroll: jnp.searchsorted is a sequential scan loop on TPU
+        pos = searchsorted_unrolled(rows, inputs)
         pos = jnp.clip(pos, 0, rows.shape[0] - 1)
         hit = rows[pos] == inputs
         fallback = jax.lax.stop_gradient(jnp.take(table, inputs, axis=0))

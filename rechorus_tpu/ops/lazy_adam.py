@@ -143,11 +143,22 @@ def unique_rows(ids: jnp.ndarray, num_rows: int):
     range) on pad slots, so `.at[scatter_rows].set(..., mode='drop')`
     updates each touched row exactly once and skips the padding. A
     genuinely-touched `num_rows - 1` row sits in the sorted region with
-    count > 0; its pad duplicates are dropped."""
+    count > 0; its pad duplicates are dropped.
+
+    Strategy: ONE value-only lax.sort + first-occurrence compaction.
+    jnp.unique(return_counts=True) sorts with an iota payload ([B, 2]
+    carry in the round-3 trace) plus count machinery; the dedup only
+    needs the sorted values. (A dense-bitmap + prefix-sum variant was
+    measured 3.5x WORSE at 1M rows -- XLA's O(num_rows) cumsum/scatter
+    passes lose to the O(B log B) sort -- so sort it is.)"""
     ids = ids.astype(jnp.int32).ravel()
-    rows, counts = jnp.unique(ids, size=ids.shape[0], fill_value=num_rows - 1,
-                              return_counts=True)
-    scatter = jnp.where(counts > 0, rows, num_rows)
+    out_size = ids.shape[0]
+    s = jax.lax.sort(ids)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1  # [B] slot per first occurrence
+    target = jnp.where(first, slot, out_size)
+    rows = jnp.full((out_size,), num_rows - 1, jnp.int32).at[target].set(s, mode="drop")
+    scatter = jnp.full((out_size,), num_rows, jnp.int32).at[target].set(s, mode="drop")
     return rows, scatter
 
 

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--sparse_grad", type=int, default=0,
                     help="Benchmark the --sparse_emb_grad lane (row-block "
                          "cotangents, no dense table grad; with --lazy_adam)")
+    ap.add_argument("--profile", default="",
+                    help="capture a jax.profiler trace of one steady epoch here")
     a = ap.parse_args()
 
     import jax
@@ -74,8 +76,7 @@ def main():
         specs = model.lazy_table_specs()
 
     def step_fn(state, xs):
-        idx, key = xs
-        u, t = users[idx], items[idx]
+        u, t, key = xs
         neg = sampling.sample_negatives(key, u, clicked, 1, I)
         feed = {"user_id": u, "item_id": jnp.concatenate([t[:, None], neg], 1)}
 
@@ -119,7 +120,11 @@ def main():
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state, idx_mat, key):
         keys = jax.random.split(key, idx_mat.shape[0])
-        return jax.lax.scan(step_fn, state, (idx_mat, keys))
+        # gather the epoch's per-step ids ONCE up front: gathering [B]
+        # from the [n_inter] arrays inside the scan made XLA re-stage the
+        # big arrays every step (6 async 500k-elem slice streams/step in
+        # the round-3 trace)
+        return jax.lax.scan(step_fn, state, (users[idx_mat], items[idx_mat], keys))
 
     n_steps = n_inter // B
     idx_mat = jnp.asarray(rng.permutation(n_inter)[: n_steps * B].reshape(n_steps, B),
@@ -131,6 +136,10 @@ def main():
         state, _ = epoch(state, idx_mat, jax.random.key(e))
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / 3
+    if a.profile:
+        with jax.profiler.trace(a.profile):
+            state, _ = epoch(state, idx_mat, jax.random.key(99))
+            jax.block_until_ready(state.params)
     print(json.dumps({"train_examples_per_s": round(n_steps * B / dt),
                       "s_per_epoch": round(dt, 3),
                       "lazy_adam": a.lazy_adam, "sparse_grad": a.sparse_grad,

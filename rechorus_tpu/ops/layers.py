@@ -71,14 +71,21 @@ class TableEmbed(nn.Embed):
             entry = _SPARSE_LOOKUP.get(path)
         if entry is None:
             return jnp.take(table, inputs, axis=0).astype(out_dtype)
-        rows, vals = entry  # rows sorted ascending, vals [R, D] f32
+        # (rows sorted ascending, vals [R, D] f32[, fallback table]). The
+        # packed-carry lane passes the [N, 3D] [p|mu|nu] block as the
+        # fallback source (the flax-visible param leaf is a dead zeros
+        # placeholder there: gathering from a lane SLICE of the packed
+        # table would make XLA materialize the [N, D] slice every step).
+        rows, vals = entry[0], entry[1]
+        fb_table = entry[2] if len(entry) > 2 else table
         from rechorus_tpu.ops.kg import searchsorted_unrolled
 
         # static unroll: jnp.searchsorted is a sequential scan loop on TPU
         pos = searchsorted_unrolled(rows, inputs)
         pos = jnp.clip(pos, 0, rows.shape[0] - 1)
         hit = rows[pos] == inputs
-        fallback = jax.lax.stop_gradient(jnp.take(table, inputs, axis=0))
+        fallback = jax.lax.stop_gradient(jnp.take(fb_table, inputs, axis=0))
+        fallback = fallback[..., : vals.shape[-1]]  # packed: param lanes first
         out = jnp.where(hit[..., None], vals[pos], fallback.astype(vals.dtype))
         return out.astype(out_dtype)
 

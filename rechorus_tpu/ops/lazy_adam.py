@@ -263,6 +263,110 @@ def lazy_adam_sparse_step(tx: LazyAdamTx, params, state: LazyAdamState,
     return new_params, LazyAdamState(count=count, mu=new_mu, nu=new_nu)
 
 
+def pack_lazy_leaves(params, state: LazyAdamState, paths):
+    """Epoch-scan carry layout for the sparse-grad lane: concat
+    [p | mu | nu] -> ONE [N, 3D] f32 leaf per lazy table (replacing the
+    param leaf; mu/nu get 0-size placeholders so the carry keeps the
+    LazyAdamState pytree structure). Rationale (docs/PERF.md): XLA's TPU
+    row scatter costs ~73 ns/row + ~0.3 ms fixed REGARDLESS of row
+    width, so fusing the three per-table scatters (param, mu, nu) into
+    one [R, 3D] scatter cuts the optimizer's table traffic 3x. Packing
+    happens INSIDE the jitted epoch (pack before the scan, unpack
+    after), so checkpoints, eval, sharding specs and the external state
+    layout never see the packed form. bf16 tables ride the epoch in f32
+    and round once at unpack (documented deviation: strictly MORE
+    precise than rounding every step)."""
+    dtypes = {}
+    mu, nu = state.mu, state.nu
+    for path in paths:
+        p = _get(params, path)
+        dtypes[path] = p.dtype
+        packed = jnp.concatenate(
+            [p.astype(jnp.float32), _get(mu, path), _get(nu, path)], axis=1)
+        params = _set(params, path, packed)
+        mu = _set(mu, path, jnp.zeros((0,), jnp.float32))
+        nu = _set(nu, path, jnp.zeros((0,), jnp.float32))
+    return params, LazyAdamState(state.count, mu, nu), dtypes
+
+
+def unpack_lazy_leaves(params, state: LazyAdamState, dtypes):
+    """Inverse of pack_lazy_leaves (runs after the epoch scan, same jit)."""
+    mu, nu = state.mu, state.nu
+    for path, dt in dtypes.items():
+        packed = _get(params, path)
+        d = packed.shape[1] // 3
+        params = _set(params, path, packed[:, :d].astype(dt))
+        mu = _set(mu, path, packed[:, d:2 * d])
+        nu = _set(nu, path, packed[:, 2 * d:])
+    return params, LazyAdamState(state.count, mu, nu)
+
+
+def packed_rows_and_vals(params, rows_map):
+    """Packed-carry analogue of sparse_rows_and_vals: ONE [R, 3D] row
+    gather per table serves the forward pass (param lanes) AND the
+    optimizer (moment lanes). Returns (rows_info, gathered {path:
+    [R, 3D]}, vals {path: [R, D] param lanes})."""
+    rows_info, gathered, vals = {}, {}, {}
+    for path, ids in rows_map.items():
+        packed = _get(params, path)
+        rows, scatter = unique_rows(ids, packed.shape[0])
+        rows_info[path] = (rows, scatter)
+        g = packed[rows]
+        gathered[path] = g
+        vals[path] = g[:, : packed.shape[1] // 3]
+    return rows_info, gathered, vals
+
+
+def lazy_adam_sparse_step_packed(tx: LazyAdamTx, params, state: LazyAdamState,
+                                 rows_info, gathered, g_vals, g_rest):
+    """lazy_adam_sparse_step on the packed [p | mu | nu] carry: the Adam
+    math is identical (same op order per lane -> bit-equal to the
+    unpacked lane in f32), but each table commits with ONE [R, 3D]
+    mode='drop' scatter instead of three."""
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - tx.b1 ** t
+    bc2 = 1.0 - tx.b2 ** t
+
+    decay_mask = tx.decay_mask
+    if callable(decay_mask):
+        decay_mask = decay_mask(params)
+
+    new_params = params
+    for path in rows_info:
+        rows, scatter = rows_info[path]
+        packed = _get(params, path)
+        d = packed.shape[1] // 3
+        g = gathered[path]
+        pr, m, v = g[:, :d], g[:, d:2 * d], g[:, 2 * d:]
+        decay = tx.l2 if (tx.l2 > 0 and (decay_mask is None or _get(decay_mask, path))) else 0.0
+        gr = g_vals[path].astype(jnp.float32)
+        if decay:
+            gr = gr + decay * pr
+        mr = tx.b1 * m + (1.0 - tx.b1) * gr
+        vr = tx.b2 * v + (1.0 - tx.b2) * gr * gr
+        upd = tx.lr * (mr / bc1) / (jnp.sqrt(vr / bc2) + tx.eps)
+        block = jnp.concatenate([pr - upd, mr, vr], axis=1)
+        new_params = _set(new_params, path,
+                          packed.at[scatter].set(block, mode="drop"))
+
+    new_mu, new_nu = state.mu, state.nu
+    for path, g in _leaf_paths(g_rest):
+        p = _get(params, path)
+        m, v = _get(state.mu, path), _get(state.nu, path)
+        decay = tx.l2 if (tx.l2 > 0 and (decay_mask is None or _get(decay_mask, path))) else 0.0
+        gf = g.astype(jnp.float32)
+        if decay:
+            gf = gf + decay * p.astype(jnp.float32)
+        m2 = tx.b1 * m + (1.0 - tx.b1) * gf
+        v2 = tx.b2 * v + (1.0 - tx.b2) * gf * gf
+        upd = tx.lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + tx.eps)
+        new_params = _set(new_params, path, (p.astype(jnp.float32) - upd).astype(p.dtype))
+        new_mu = _set(new_mu, path, m2)
+        new_nu = _set(new_nu, path, v2)
+    return new_params, LazyAdamState(count=count, mu=new_mu, nu=new_nu)
+
+
 def resolve_lazy_rows(specs: dict, params, feed) -> dict:
     """{path: feed-key tuple} -> {path: concatenated id array}, keeping
     only paths that exist in this model's param tree and keys present in

@@ -146,6 +146,14 @@ class BaseRunner:
                                  "the backward pass never materializes an [N, D] "
                                  "dense table gradient. Same semantics as the "
                                  "dense-grad lazy lane; 0 falls back to it.")
+        parser.add_argument("--packed_opt_rows", type=int, default=1,
+                            help="With --lazy_emb_adam --sparse_emb_grad: carry "
+                                 "each lazy table through the epoch scan as one "
+                                 "[N, 3D] f32 [param|mu|nu] block so every step "
+                                 "does ONE row gather + ONE row scatter per table "
+                                 "(TPU scatter cost is row-count-bound, not "
+                                 "width-bound). 0 = debug fallback to the "
+                                 "three-scatter lane (bit-identical in f32).")
         parser.add_argument("--bf16_emb", type=int, default=0,
                             help="Store embedding tables in bfloat16 (half the "
                                  "HBM; gathered rows cast to f32, Adam moments "
@@ -193,6 +201,7 @@ class BaseRunner:
         self.scan_unroll = max(1, getattr(args, "scan_unroll", 1))
         self.lazy_emb_adam = bool(getattr(args, "lazy_emb_adam", 0))
         self.sparse_emb_grad = bool(getattr(args, "sparse_emb_grad", 1))
+        self.packed_opt_rows = bool(getattr(args, "packed_opt_rows", 1))
         self.bf16_emb = bool(getattr(args, "bf16_emb", 0))
         if self.bf16_emb:
             if not self.lazy_emb_adam:
@@ -370,6 +379,26 @@ class BaseRunner:
         @partial(jax.jit, donate_argnums=(0,), static_argnames=("has_tail",))
         def epoch_fn(state: TrainState, arrays, perm: jnp.ndarray, tail_idx,
                      epoch_key: jax.Array, has_tail: bool):
+            # sparse-grad lane: repack each lazy table + its Adam moments
+            # as ONE [N, 3D] f32 carry leaf for the duration of the epoch
+            # scan (one row gather + one row scatter per table per step
+            # instead of three each; ops/lazy_adam.pack_lazy_leaves).
+            # Trace-time only: the probe feed is dead code XLA removes,
+            # and the packed form never escapes this jit.
+            pack_dtypes = {}
+            if self._packed_lane_ok():
+                from rechorus_tpu.ops.lazy_adam import (
+                    pack_lazy_leaves, resolve_lazy_rows)
+
+                probe = batcher.train_feed(arrays, perm[0], jax.random.key(0))
+                paths = list(resolve_lazy_rows(
+                    self._lazy_specs, state.params, probe))
+                if paths:
+                    params, opt, pack_dtypes = pack_lazy_leaves(
+                        state.params, state.opt_state, paths)
+                    state = state.replace(params=params, opt_state=opt)
+            self._packed_paths = set(pack_dtypes)
+
             step = lambda st, xs: step_fn(arrays, st, xs)  # noqa: E731
             keys = jax.random.split(epoch_key, perm.shape[0] + 1)
             state, losses = jax.lax.scan(step, state, (perm, keys[:-1]),
@@ -378,6 +407,12 @@ class BaseRunner:
             if has_tail:
                 state, tail_loss = step(state, (tail_idx, keys[-1]))
                 loss_sum, n_steps = loss_sum + tail_loss, n_steps + 1
+            if pack_dtypes:
+                from rechorus_tpu.ops.lazy_adam import unpack_lazy_leaves
+
+                params, opt = unpack_lazy_leaves(
+                    state.params, state.opt_state, pack_dtypes)
+                state = state.replace(params=params, opt_state=opt)
             return state, loss_sum / n_steps
 
         self._compiled["train"] = epoch_fn
@@ -435,7 +470,52 @@ class BaseRunner:
                 from rechorus_tpu.ops.lazy_adam import resolve_lazy_rows
 
                 rows_map = resolve_lazy_rows(self._lazy_specs, state.params, feed)
-            if rows_map and self.sparse_emb_grad:
+            packed_paths = getattr(self, "_packed_paths", None) or set()
+            if rows_map and self.sparse_emb_grad and set(rows_map) == packed_paths:
+                # packed-carry lane (see epoch_fn): the lazy leaves of
+                # state.params hold [N, 3D] = [p | mu | nu]; one gather
+                # feeds both the forward row block and the Adam moments,
+                # one scatter commits all three.
+                from rechorus_tpu.ops import layers as _L
+                from rechorus_tpu.ops.lazy_adam import (
+                    _get as _tree_get, _set as _tree_set,
+                    lazy_adam_sparse_step_packed, packed_rows_and_vals,
+                    split_params)
+
+                rows_info, gathered, vals0 = packed_rows_and_vals(
+                    state.params, rows_map)
+                # model.apply must see [N, D] leaves (flax checks param
+                # shapes), but a param-lane SLICE of the packed table
+                # would be materialized by XLA every step (measured
+                # 1.56 ms at [1M, 192]). So splice in DEAD zeros
+                # placeholders and route the sparse-lookup fallback
+                # gather through the packed table itself (TableEmbed
+                # slices the gathered rows' param lanes).
+                view_params = state.params
+                fb_tables = {}
+                for _path in rows_map:
+                    _packed = _tree_get(state.params, _path)
+                    fb_tables[_path] = jax.lax.stop_gradient(_packed)
+                    view_params = _tree_set(
+                        view_params, _path,
+                        jnp.zeros((_packed.shape[0], _packed.shape[1] // 3),
+                                  jnp.float32))
+                rest0, reassemble = split_params(view_params, list(rows_map))
+
+                def sparse_loss_fn(vals, rest):
+                    _L.set_sparse_lookup({p: (rows_info[p][0], vals[p], fb_tables[p])
+                                          for p in rows_info})
+                    try:
+                        return loss_fn(reassemble(rest))
+                    finally:
+                        _L.set_sparse_lookup(None)
+
+                (loss, new_vars), (g_vals, g_rest) = jax.value_and_grad(
+                    sparse_loss_fn, argnums=(0, 1), has_aux=True)(vals0, rest0)
+                new_params, new_opt = lazy_adam_sparse_step_packed(
+                    tx, state.params, state.opt_state, rows_info, gathered,
+                    g_vals, g_rest)
+            elif rows_map and self.sparse_emb_grad:
                 # sparse-grad lane: differentiate w.r.t. the gathered rows
                 # only. Lookups resolve from the [R, D] row block via the
                 # sparse-lookup context, so the backward pass never builds
@@ -592,6 +672,15 @@ class BaseRunner:
     def _post_update(self, model, params, extra_vars):
         """Traced hook after each optimizer step (see BUIRRunner)."""
         return extra_vars
+
+    def _packed_lane_ok(self) -> bool:
+        """Packed [p|mu|nu] epoch carry applies when the sparse-grad lazy
+        lane is active AND no runner hook inspects params mid-epoch
+        (BUIRRunner's EMA reads param leaves every step, which would see
+        the packed shape)."""
+        return (self.sparse_emb_grad and self.packed_opt_rows
+                and bool(getattr(self, "_lazy_specs", None))
+                and type(self)._post_update is BaseRunner._post_update)
 
     # ------------------------------------------------------------------ #
     def _batch_index_matrix(self, n: int, batch_size: int, perm: np.ndarray = None) -> np.ndarray:

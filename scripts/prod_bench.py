@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--sparse_grad", type=int, default=0,
                     help="Benchmark the --sparse_emb_grad lane (row-block "
                          "cotangents, no dense table grad; with --lazy_adam)")
+    ap.add_argument("--packed", type=int, default=1,
+                    help="With --sparse_grad: packed [p|mu|nu] epoch carry "
+                         "(one row gather + one row scatter per table per "
+                         "step; runners/base.py --packed_opt_rows lane)")
     ap.add_argument("--profile", default="",
                     help="capture a jax.profiler trace of one steady epoch here")
     a = ap.parse_args()
@@ -84,6 +88,39 @@ def main():
             out = model.apply({"params": p}, feed, training=True)
             return losses.bpr_multi_neg(out["prediction"])
 
+        if a.lazy_adam and a.sparse_grad and a.packed:
+            from rechorus_tpu.ops import layers as L
+            from rechorus_tpu.ops.lazy_adam import (
+                _get as _tget, _set as _tset,
+                lazy_adam_sparse_step_packed, packed_rows_and_vals,
+                split_params)
+
+            rows_map = resolve_lazy_rows(specs, state.params, feed)
+            rows_info, gathered, vals0 = packed_rows_and_vals(state.params, rows_map)
+            view_params = state.params
+            fb_tables = {}
+            for _p in rows_map:
+                _pk = _tget(state.params, _p)
+                fb_tables[_p] = jax.lax.stop_gradient(_pk)
+                view_params = _tset(view_params, _p,
+                                    jnp.zeros((_pk.shape[0], _pk.shape[1] // 3),
+                                              jnp.float32))
+            rest0, reassemble = split_params(view_params, list(rows_map))
+
+            def sparse_loss_fn(vals, rest):
+                L.set_sparse_lookup({p: (rows_info[p][0], vals[p], fb_tables[p])
+                                     for p in rows_info})
+                try:
+                    return loss_fn(reassemble(rest))
+                finally:
+                    L.set_sparse_lookup(None)
+
+            loss, (g_vals, g_rest) = jax.value_and_grad(
+                sparse_loss_fn, argnums=(0, 1))(vals0, rest0)
+            new_params, new_opt = lazy_adam_sparse_step_packed(
+                tx, state.params, state.opt_state, rows_info, gathered, g_vals, g_rest)
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 step=state.step + 1), loss
         if a.lazy_adam and a.sparse_grad:
             from rechorus_tpu.ops import layers as L
             from rechorus_tpu.ops.lazy_adam import (
@@ -117,14 +154,30 @@ def main():
         return state.replace(params=optax.apply_updates(state.params, updates),
                              opt_state=new_opt, step=state.step + 1), loss
 
+    pack_paths = []
+    if a.lazy_adam and a.sparse_grad and a.packed:
+        pack_paths = list(resolve_lazy_rows(specs, state.params, feed0))
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state, idx_mat, key):
         keys = jax.random.split(key, idx_mat.shape[0])
+        if pack_paths:
+            from rechorus_tpu.ops.lazy_adam import (
+                pack_lazy_leaves, unpack_lazy_leaves)
+
+            params, opt, dts = pack_lazy_leaves(state.params, state.opt_state,
+                                                pack_paths)
+            state = state.replace(params=params, opt_state=opt)
         # gather the epoch's per-step ids ONCE up front: gathering [B]
         # from the [n_inter] arrays inside the scan made XLA re-stage the
         # big arrays every step (6 async 500k-elem slice streams/step in
         # the round-3 trace)
-        return jax.lax.scan(step_fn, state, (users[idx_mat], items[idx_mat], keys))
+        state, losses = jax.lax.scan(step_fn, state,
+                                     (users[idx_mat], items[idx_mat], keys))
+        if pack_paths:
+            params, opt = unpack_lazy_leaves(state.params, state.opt_state, dts)
+            state = state.replace(params=params, opt_state=opt)
+        return state, losses
 
     n_steps = n_inter // B
     idx_mat = jnp.asarray(rng.permutation(n_inter)[: n_steps * B].reshape(n_steps, B),

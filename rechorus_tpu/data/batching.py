@@ -635,7 +635,7 @@ class CFKGBatcher(Batcher):
                 [rel["tail"].to_numpy(), inter["item_id"].to_numpy()]).astype(np.int32)
             self.arrays["kg_relation"] = np.concatenate(
                 [rel["relation"].to_numpy(), np.zeros(len(inter))]).astype(np.int32)
-            self.arrays["_triplet_keys"] = self.corpus.sorted_triplet_keys()
+            self.arrays["_triplet_keys"] = self.corpus.member_table()
             self.arrays["_clicked"] = self.corpus.clicked_matrix(include_residual=False)
             self.n = len(self.arrays["kg_head"])
         else:
@@ -728,7 +728,7 @@ class SLRCBatcher(SequentialBatcher):
     def build(self):
         super().build()
         self.arrays["time"] = self._df["time"].to_numpy().astype(np.int64)
-        self.arrays["_triplet_keys"] = self.corpus.sorted_triplet_keys()
+        self.arrays["_triplet_keys"] = self.corpus.member_table()
         if self.phase != "train" and not getattr(self, "test_all", False):
             # eval candidates are static -> compute [n, C, R] intervals ONCE
             # instead of per-epoch inside the eval scan
@@ -806,7 +806,7 @@ class ChorusBatcher(SLRCBatcher):
             self.arrays["kg_head"] = rel["head"].to_numpy().astype(np.int32)
             self.arrays["kg_tail"] = rel["tail"].to_numpy().astype(np.int32)
             self.arrays["kg_relation"] = rel["relation"].to_numpy().astype(np.int32)
-            self.arrays["_triplet_keys"] = self.corpus.sorted_triplet_keys()
+            self.arrays["_triplet_keys"] = self.corpus.member_table()
             self.kg_neg_hi = self.corpus.n_items
             self.n = len(rel)
             return
@@ -851,7 +851,7 @@ class KDABatcher(SequentialBatcher):
             self.arrays["kg_head"] = rel["head"].to_numpy().astype(np.int32)
             self.arrays["kg_tail"] = rel["tail"].to_numpy().astype(np.int32)
             self.arrays["kg_relation"] = rel["relation"].to_numpy().astype(np.int32)
-            self.arrays["_triplet_keys"] = self.corpus.sorted_triplet_keys()
+            self.arrays["_triplet_keys"] = self.corpus.member_table()
             mat, lens = self.corpus.share_attr_matrix()
             self.arrays["_share_mat"] = mat
             self.arrays["_share_len"] = lens

@@ -731,6 +731,16 @@ class KGReader(SeqReader):
 
         return sorted_triplet_keys(self.relation_df, self.n_relations, self.n_entities)
 
+    def member_table(self) -> np.ndarray:
+        """Cuckoo membership table of the packed triplets (the device
+        representation every kg.is_member consumer takes); built once
+        and cached -- corpora are shared across batcher phases."""
+        if getattr(self, "_member_table", None) is None:
+            from rechorus_tpu.ops.kg import build_member_table
+
+            self._member_table = build_member_table(self.sorted_triplet_keys())
+        return self._member_table
+
 
 class KDAReader(KGReader):
     """KDA reader: per-relation time-interval distributions DFT'd into

@@ -4,10 +4,10 @@ and device-side KG negative sampling.
 The reference stores the KG as a python set of (head, relation, tail)
 tuples and probes it in per-row python loops (SLRCPlus.py:94-116,
 Chorus.Dataset:198-255, CFKG.Dataset actions_before_epoch). TPU-first:
-triplets are packed into ONE sorted int64 key array; membership is a
-vectorized searchsorted + equality check, fully jittable, so both the
-feed-time interval features and the rejection negative sampling run
-inside the compiled step.
+triplets are packed into int32 keys and membership is probed against a
+host-built 2-choice cuckoo hash table -- two data-parallel gathers per
+query, fully jittable -- so both the feed-time interval features and
+the rejection negative sampling run inside the compiled step.
 """
 from __future__ import annotations
 
@@ -65,13 +65,81 @@ def searchsorted_unrolled(sorted_arr: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarra
     return lo
 
 
-def is_member(sorted_keys: jnp.ndarray, h, r, t, n_relations: int, n_entities: int):
+# 2-choice cuckoo hashing of the packed triplet keys: membership on
+# device is TWO INDEPENDENT gathers + compares instead of a ~19-level
+# binary search whose gathers are sequentially dependent (each level
+# waits on the previous one's loaded value). The table is built once on
+# the host at corpus load (readers.KGReader.member_table) and cached.
+_CUCKOO_M1 = np.uint32(0x9E3779B1)  # Knuth golden-ratio multiplier
+_CUCKOO_M2 = np.uint32(0x85EBCA77)  # murmur3 finalizer constant (odd)
+_EMPTY = np.int32(-1)               # packed keys are always >= 0
+
+
+def _host_slots(keys_u32: np.ndarray, b: int):
+    with np.errstate(over="ignore"):
+        s1 = (keys_u32 * _CUCKOO_M1) >> np.uint32(32 - b)
+        s2 = (keys_u32 * _CUCKOO_M2) >> np.uint32(32 - b)
+    return s1.astype(np.int64), s2.astype(np.int64)
+
+
+def _try_build(table: np.ndarray, keys: np.ndarray, b: int,
+               max_kicks: int = 500) -> bool:
+    s1, s2 = _host_slots(keys.astype(np.uint32), b)
+    # vectorized first pass: the first claimant of each s1 slot wins
+    order = np.argsort(s1, kind="stable")
+    first = np.ones(len(keys), bool)
+    first[1:] = s1[order][1:] != s1[order][:-1]
+    winners = order[first]
+    table[s1[winners]] = keys[winners]
+    # standard cuckoo eviction chains for the remainder (~collision tail)
+    for idx in order[~first]:
+        k = int(keys[idx])
+        slot = int(s2[idx])
+        for _ in range(max_kicks):
+            cur = int(table[slot])
+            table[slot] = k
+            if cur == int(_EMPTY):
+                break
+            k = cur
+            a1, a2 = _host_slots(np.uint32(k), b)
+            slot = int(a2) if slot == int(a1) else int(a1)
+        else:
+            return False
+    return True
+
+
+def build_member_table(keys) -> np.ndarray:
+    """Host-side build of the cuckoo membership table -> int32 [cap]
+    (cap a power of two, load factor <= 0.5, empty slots = -1). Grows
+    and rebuilds on the (rare) insertion failure, so lookups never need
+    more than the two canonical slots."""
+    keys = np.unique(np.asarray(keys, dtype=np.int64)).astype(np.int32)
+    n = max(1, len(keys))
+    b = max(4, int(np.ceil(np.log2(n * 2))))
+    while True:
+        table = np.full(1 << b, _EMPTY, np.int32)
+        if _try_build(table, keys, b):
+            return table
+        b += 1
+
+
+def member_probe(table: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Membership of packed keys `q` (any shape, int32 >= 0) in the
+    cuckoo table: two data-parallel gathers, no sequential dependence."""
+    b = int(np.log2(table.shape[0]))
+    qu = q.astype(jnp.uint32)
+    s1 = ((qu * jnp.uint32(_CUCKOO_M1)) >> jnp.uint32(32 - b)).astype(jnp.int32)
+    s2 = ((qu * jnp.uint32(_CUCKOO_M2)) >> jnp.uint32(32 - b)).astype(jnp.int32)
+    return (table[s1] == q) | (table[s2] == q)
+
+
+def is_member(member_table: jnp.ndarray, h, r, t, n_relations: int, n_entities: int):
     """Vectorized membership of (h, r, t) in the packed triplet set.
-    h/r/t broadcastable int arrays -> bool array of the broadcast shape."""
+    h/r/t broadcastable int arrays -> bool array of the broadcast shape.
+    `member_table` is the cuckoo table from build_member_table (NOT the
+    sorted key array; see readers.KGReader.member_table)."""
     q = (h.astype(jnp.int32) * n_relations + r.astype(jnp.int32)) * n_entities + t.astype(jnp.int32)
-    pos = searchsorted_unrolled(sorted_keys, q)
-    pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
-    return sorted_keys[pos] == q
+    return member_probe(member_table, q)
 
 
 def relational_intervals(
@@ -79,7 +147,7 @@ def relational_intervals(
     history_times: jnp.ndarray,   # [B, H] int
     now: jnp.ndarray,             # [B] int (target row time)
     item_ids: jnp.ndarray,        # [B, C] candidate items
-    sorted_keys: jnp.ndarray,     # packed triplets, sorted
+    member_table: jnp.ndarray,    # cuckoo table (build_member_table)
     n_relations: int,             # R (index 0 = virtual self-relation)
     n_entities: int,
     time_scalar: float,
@@ -104,7 +172,7 @@ def relational_intervals(
 
     r_range = jnp.arange(1, R, dtype=jnp.int32)  # [R-1]
     member = is_member(
-        sorted_keys,
+        member_table,
         history_items[:, None, :, None],          # [B, 1, H, 1]
         r_range[None, None, None, :],              # [1, 1, 1, R-1]
         item_ids[:, :, None, None],                # [B, C, 1, 1]
@@ -132,7 +200,7 @@ def sample_kg_negatives(
     heads: jnp.ndarray,      # [B] raw head ids
     relations: jnp.ndarray,  # [B]
     tails: jnp.ndarray,      # [B] raw tail ids
-    sorted_keys: jnp.ndarray,
+    member_table: jnp.ndarray,
     n_relations: int,
     n_entities: int,
     hi_tail: int,
@@ -157,10 +225,10 @@ def sample_kg_negatives(
     k1, k2 = jax.random.split(key)
     neg_tails = resample(
         k1, 1, hi_tail,
-        lambda c: is_member(sorted_keys, heads, relations, c, n_relations, n_entities),
+        lambda c: is_member(member_table, heads, relations, c, n_relations, n_entities),
     )
     neg_heads = resample(
         k2, 1, hi_head,
-        lambda c: is_member(sorted_keys, c, relations, tails, n_relations, n_entities),
+        lambda c: is_member(member_table, c, relations, tails, n_relations, n_entities),
     )
     return neg_heads, neg_tails

@@ -108,6 +108,36 @@ def _bucket_max(s, bucket: int):
     return s.reshape(B, -1, bucket).max(-1)
 
 
+def _exact_bucket_select(bm, kk: int, fan: int = 16):
+    """Exact top-kk bucket ids over a WIDE bucket-max matrix without a
+    full-width `lax.top_k` (whose sort-based lowering dominated the
+    1M-item exact serve lane: top_k over [4096, 62592] costs more than
+    the scoring matmul). Two levels, same containment argument as the
+    bucket hierarchy itself, applied recursively: group `fan` adjacent
+    buckets into a super-bucket, take the top kk super-buckets by max
+    (any level-1 bucket in the true top kk has a super-bucket max >= its
+    own max, and fewer than kk supers can strictly beat it), expand to
+    their fan*kk member buckets, and finish with a small exact top_k."""
+    B, G = bm.shape
+    gp = -(-G // fan) * fan
+    if gp != G:
+        bm = jnp.pad(bm, ((0, 0), (0, gp - G)), constant_values=-jnp.inf)
+    bm2 = bm.reshape(B, gp // fan, fan).max(axis=2)
+    kk2 = min(kk, bm2.shape[1])
+    _, sb = jax.lax.top_k(bm2, kk2)                           # [B, kk2]
+    l1 = (sb[:, :, None] * fan
+          + jnp.arange(fan, dtype=sb.dtype)[None, None, :]).reshape(B, -1)
+    v1 = jnp.take_along_axis(bm, l1, axis=1)                  # [B, kk2*fan]
+    _, sel = jax.lax.top_k(v1, min(kk, v1.shape[1]))
+    return jnp.take_along_axis(l1, sel, axis=1)
+
+
+# full-width lax.top_k on the bucket-max matrix is fine below this many
+# buckets; above it the two-level select wins (measured crossover region
+# on v5e is a few thousand columns)
+MAX_DIRECT_BUCKET_TOPK = 4096
+
+
 def _exact_rescore(u, table, bias, raw_cand, col_offset, n_valid, n_rows):
     """Gather the candidate rows, rescore exactly, mask by global id.
 
@@ -179,7 +209,10 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
         bm = PT.fused_bucket_max(u, table, bucket=bucket, bias=bias,
                                  n_valid=n_valid, col_offset=col_offset)
         kk = min(k_wide, bm.shape[1])
-        _, gb = jax.lax.top_k(bm, kk)
+        if bm.shape[1] > MAX_DIRECT_BUCKET_TOPK:
+            gb = _exact_bucket_select(bm, kk)
+        else:
+            _, gb = jax.lax.top_k(bm, kk)
         cs, cand = _exact_rescore(u, table, bias, PT.expand_bucket_items(gb, bucket),
                                   col_offset, n_valid, N)
         return _final_select(cs, cand, k, k_wide, clicked_rows, col_offset)

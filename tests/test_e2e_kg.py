@@ -87,7 +87,7 @@ def test_relational_intervals_match_reference_semantics(corpus):
 
     got = np.asarray(kg_ops.relational_intervals(
         jnp.asarray(hist), jnp.asarray(times), jnp.asarray(now), jnp.asarray(cands),
-        jnp.asarray(corpus.sorted_triplet_keys()), corpus.n_relations,
+        jnp.asarray(corpus.member_table()), corpus.n_relations,
         corpus.n_entities, 10.0, include_repeat=True))
 
     for b in range(B):
@@ -103,6 +103,45 @@ def test_relational_intervals_match_reference_semantics(corpus):
                         expect[r] = (now[b] - times[b, j]) / 10.0
                         break
             np.testing.assert_allclose(got[b, c], expect, rtol=1e-5)
+
+
+def test_member_table_exact_membership():
+    """Cuckoo table == python set, across sizes incl. powers of two,
+    key 0, adversarial duplicates, and the near-full collision tail."""
+    import jax.numpy as jnp
+
+    from rechorus_tpu.ops import kg as kg_ops
+
+    rng = np.random.default_rng(3)
+    for n in [1, 2, 7, 16, 255, 256, 4096, 100_000]:
+        keys = rng.choice(2 ** 30, size=n, replace=False).astype(np.int32)
+        keys[0] = 0  # key 0 must not collide with the empty sentinel
+        table = kg_ops.build_member_table(keys)
+        assert (table.shape[0] & (table.shape[0] - 1)) == 0
+        in_set = set(int(k) for k in keys)
+        q = np.concatenate([keys[: min(n, 500)],
+                            rng.integers(0, 2 ** 30, size=500).astype(np.int32)])
+        got = np.asarray(kg_ops.member_probe(jnp.asarray(table), jnp.asarray(q)))
+        expect = np.array([int(x) in in_set for x in q])
+        np.testing.assert_array_equal(got, expect, err_msg=f"n={n}")
+
+
+def test_member_table_matches_triplet_set(corpus):
+    import jax.numpy as jnp
+
+    from rechorus_tpu.ops import kg as kg_ops
+
+    table = jnp.asarray(corpus.member_table())
+    rng = np.random.default_rng(1)
+    h = rng.integers(0, corpus.n_items, size=400).astype(np.int32)
+    r = rng.integers(0, corpus.n_relations, size=400).astype(np.int32)
+    t = rng.integers(0, corpus.n_items, size=400).astype(np.int32)
+    got = np.asarray(kg_ops.is_member(table, jnp.asarray(h), jnp.asarray(r),
+                                      jnp.asarray(t), corpus.n_relations,
+                                      corpus.n_entities))
+    expect = np.array([(int(a), int(b), int(c)) in corpus.triplet_set
+                       for a, b, c in zip(h, r, t)])
+    np.testing.assert_array_equal(got, expect)
 
 
 def test_cfkg_learns(corpus_attr):

@@ -135,3 +135,40 @@ def test_bucket_overhang_does_not_duplicate_last_item():
     row = np.asarray(ids)[0]
     valid = row[np.asarray(v)[0] > -np.inf]
     assert len(set(valid.tolist())) == len(valid)
+
+
+def test_exact_bucket_select_matches_direct_topk():
+    """Two-level bucket selection (ops/topk._exact_bucket_select) must
+    pick the same top-kk VALUES as a direct lax.top_k over the bucket-max
+    matrix (ids may reorder only at exact ties; continuous random data
+    has none), across widths around the fan boundary and with -inf pads."""
+    from rechorus_tpu.ops.topk import _exact_bucket_select
+
+    rng = np.random.default_rng(5)
+    for G in [17, 64, 100, 1024, 5000]:
+        for kk in [1, 7, 50]:
+            bm = rng.standard_normal((9, G)).astype(np.float32)
+            bm[:, G // 3] = -np.inf  # dead bucket
+            got = np.asarray(_exact_bucket_select(jnp.asarray(bm), min(kk, G)))
+            want_v, want_i = jax.lax.top_k(jnp.asarray(bm), min(kk, G))
+            got_v = np.take_along_axis(bm, got, axis=1)
+            np.testing.assert_allclose(got_v, np.asarray(want_v), rtol=0,
+                                       err_msg=f"G={G} kk={kk}")
+
+
+def test_tiled_topk_two_level_path_matches_dense():
+    """Force the two-level selection inside tiled_catalog_topk (pallas
+    interpret on CPU, threshold lowered) and check against dense."""
+    from rechorus_tpu.ops import topk as T
+
+    u, table, b, clicked = _setup(6000, B=5, D=8)
+    dv, di = metrics_ops.masked_topk(
+        (u @ table.T + b[None, :]).at[:, 0].set(-np.inf), clicked, 10)
+    old_pallas, old_thresh = T.PALLAS, T.MAX_DIRECT_BUCKET_TOPK
+    T.PALLAS, T.MAX_DIRECT_BUCKET_TOPK = "on", 8
+    try:
+        tv, ti = tiled_catalog_topk(u, table, 10, bias=b, clicked_rows=clicked,
+                                    tile=2048, bucket=2)
+    finally:
+        T.PALLAS, T.MAX_DIRECT_BUCKET_TOPK = old_pallas, old_thresh
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(dv), rtol=1e-5)

@@ -109,7 +109,7 @@ class Batcher:
     def train_feed(self, arrays, idx, key):
         raise NotImplementedError
 
-    def eval_feed(self, arrays, idx):
+    def eval_feed(self, arrays, idx, cands=None):
         raise NotImplementedError
 
 
@@ -150,7 +150,7 @@ class GeneralBatcher(Batcher):
             item_ids = target[:, None]
         return {"user_id": users, "item_id": item_ids, "batch_size": users.shape[0]}
 
-    def eval_feed(self, arrays, idx):
+    def eval_feed(self, arrays, idx, cands=None):
         users = arrays["user_id"][idx]
         target = arrays["target_item"][idx]
         if self.test_all:
@@ -158,12 +158,17 @@ class GeneralBatcher(Batcher):
             # every train+residual clicked item are masked by the runner
             # via 'clicked_mask'; the target's catalog copy is also clicked
             # (it sits in residual_clicked_set), so it never double-counts.
-            feed = {
-                "user_id": users,
-                "item_id": jnp.broadcast_to(
+            # `cands` overrides the candidate matrix [B, C] -- the runner's
+            # candidate-tiled eval streams catalog chunks through the
+            # model's ordinary forward (big catalogs, non-catalog models).
+            if cands is None:
+                cands = jnp.broadcast_to(
                     jnp.arange(self.corpus.n_items, dtype=jnp.int32)[None, :],
                     (users.shape[0], self.corpus.n_items),
-                ),
+                )
+            feed = {
+                "user_id": users,
+                "item_id": cands,
                 "_clicked_rows": arrays["_clicked_all"][users],
                 "_target": target,
             }
@@ -201,7 +206,7 @@ class CTRBatcher(Batcher):
     def train_feed(self, arrays, idx, key):
         return self._feed(arrays, idx)
 
-    def eval_feed(self, arrays, idx):
+    def eval_feed(self, arrays, idx, cands=None):
         return self._feed(arrays, idx)
 
 
@@ -266,8 +271,8 @@ class ContextBatcher(GeneralBatcher):
     def train_feed(self, arrays, idx, key):
         return _situ_feed(self, super().train_feed(arrays, idx, key), arrays, idx)
 
-    def eval_feed(self, arrays, idx):
-        return _situ_feed(self, super().eval_feed(arrays, idx), arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        return _situ_feed(self, super().eval_feed(arrays, idx, cands), arrays, idx)
 
 
 @register_batcher("context_ctr")
@@ -279,8 +284,8 @@ class ContextCTRBatcher(CTRBatcher):
     def train_feed(self, arrays, idx, key):
         return _situ_feed(self, super().train_feed(arrays, idx, key), arrays, idx)
 
-    def eval_feed(self, arrays, idx):
-        return _situ_feed(self, super().eval_feed(arrays, idx), arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        return _situ_feed(self, super().eval_feed(arrays, idx, cands), arrays, idx)
 
 
 @register_batcher("sequential")
@@ -350,8 +355,8 @@ class SequentialBatcher(GeneralBatcher):
         feed["lengths"] = arrays["lengths"][idx]
         return feed
 
-    def eval_feed(self, arrays, idx):
-        feed = super().eval_feed(arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        feed = super().eval_feed(arrays, idx, cands)
         feed["history_items"] = arrays["history_items"][idx]
         feed["history_times"] = arrays["history_times"][idx]
         feed["lengths"] = arrays["lengths"][idx]
@@ -381,8 +386,8 @@ class ContextSeqBatcher(SequentialBatcher):
         _maybe_neg_history(self, feed, aux_key)
         return feed
 
-    def eval_feed(self, arrays, idx):
-        feed = _situ_feed(self, super().eval_feed(arrays, idx), arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        feed = _situ_feed(self, super().eval_feed(arrays, idx, cands), arrays, idx)
         if "history_situ" in arrays:
             feed["history_situ"] = arrays["history_situ"][idx]
         return feed
@@ -479,7 +484,7 @@ class ImpressionBatcher(Batcher):
     def train_feed(self, arrays, idx, key):
         return self._feed(arrays, idx)
 
-    def eval_feed(self, arrays, idx):
+    def eval_feed(self, arrays, idx, cands=None):
         return self._feed(arrays, idx)
 
 
@@ -697,12 +702,12 @@ class CFKGBatcher(Batcher):
         return {"head_id": head_id, "tail_id": tail_id, "relation_id": relation_id,
                 "batch_size": B}
 
-    def eval_feed(self, arrays, idx):
+    def eval_feed(self, arrays, idx, cands=None):
         users = arrays["user_id"][idx]
         target = arrays["target_item"][idx]
         B = users.shape[0]
         if getattr(self, "test_all", False):
-            tails = jnp.broadcast_to(
+            tails = cands if cands is not None else jnp.broadcast_to(
                 jnp.arange(self.corpus.n_items, dtype=jnp.int32)[None, :],
                 (B, self.corpus.n_items))
             feed = {"_clicked_rows": arrays["_clicked_all"][users], "_target": target}
@@ -787,8 +792,8 @@ class SLRCBatcher(SequentialBatcher):
             return feed
         return self._add_interval(feed, arrays, idx)
 
-    def eval_feed(self, arrays, idx):
-        return self._add_interval(super().eval_feed(arrays, idx), arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        return self._add_interval(super().eval_feed(arrays, idx, cands), arrays, idx)
 
 
 @register_batcher("chorus")
@@ -825,8 +830,8 @@ class ChorusBatcher(SLRCBatcher):
         feed["category_id"] = arrays["_item2cate"][feed["item_id"]]
         return feed
 
-    def eval_feed(self, arrays, idx):
-        feed = super().eval_feed(arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        feed = super().eval_feed(arrays, idx, cands)
         feed["category_id"] = arrays["_item2cate"][feed["item_id"]]
         return feed
 
@@ -915,8 +920,8 @@ class KDABatcher(SequentialBatcher):
         feed["value_id"] = val
         return feed
 
-    def eval_feed(self, arrays, idx):
-        return self._common(super().eval_feed(arrays, idx), arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        return self._common(super().eval_feed(arrays, idx, cands), arrays, idx)
 
 
 @register_batcher("tisas")
@@ -942,8 +947,8 @@ class TiSASBatcher(SequentialBatcher):
         feed["user_min_intervals"] = arrays["user_min_intervals"][idx]
         return feed
 
-    def eval_feed(self, arrays, idx):
-        feed = super().eval_feed(arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        feed = super().eval_feed(arrays, idx, cands)
         feed["user_min_intervals"] = arrays["user_min_intervals"][idx]
         return feed
 
@@ -1032,8 +1037,8 @@ class SeqDeltaBatcher(SequentialBatcher):
     def train_feed(self, arrays, idx, key):
         return self._delta(super().train_feed(arrays, idx, key), arrays, idx)
 
-    def eval_feed(self, arrays, idx):
-        return self._delta(super().eval_feed(arrays, idx), arrays, idx)
+    def eval_feed(self, arrays, idx, cands=None):
+        return self._delta(super().eval_feed(arrays, idx, cands), arrays, idx)
 
 
 @register_batcher("s3rec")

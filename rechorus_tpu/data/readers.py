@@ -738,7 +738,11 @@ class KGReader(SeqReader):
         if getattr(self, "_member_table", None) is None:
             from rechorus_tpu.ops.kg import build_member_table
 
-            self._member_table = build_member_table(self.sorted_triplet_keys())
+            self._member_table = build_member_table(
+                self.relation_df["head"].to_numpy(),
+                self.relation_df["relation"].to_numpy(),
+                self.relation_df["tail"].to_numpy(),
+                self.n_relations, self.n_entities)
         return self._member_table
 
 

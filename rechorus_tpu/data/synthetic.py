@@ -147,6 +147,73 @@ def make_ctr_dataset(
     return {"n_users": n_users, "n_items": n_items}
 
 
+def make_ctr_long_dataset(
+    path: str,
+    n_users: int = 300,
+    n_items: int = 200,
+    n_per_user: int = 60,
+    n_groups: int = 8,
+    win_lo: int = 4,
+    win_hi: int = 9,
+    seed: int = 11,
+):
+    """Long-range-dependency CTR corpus (VERDICT r3 item 4): the label of
+    row j is click-iff ANY item `win_lo`..`win_hi` interactions EARLIER
+    shares the target's category (p=0.85 on presence, 0.15 otherwise).
+
+    Why this makes long-history retrieval CAUSAL for lift:
+      * the informative window sits deeper than the harness' recent_k
+        (3) but inside history_max (10), so models attending only to
+        recent items see noise;
+      * the dependency SLIDES with j, so a user-id embedding cannot
+        memorize it (unlike a fixed per-user persona);
+      * the signal is "a category-similar item is PRESENT in the long
+        window", which is exactly what ETA's SimHash top-k / SDIM's
+        bucket-collision retrieval detect (reference ETA.py:24-122,
+        SDIM.py:114-131) -- no positional precision required.
+    u_group_c is RANDOM (uninformative) so user features cannot leak the
+    signal; c_hour_c is random too."""
+    rng = np.random.default_rng(seed)
+    all_items = np.arange(1, n_items + 1)
+    rows = []
+    for u in range(1, n_users + 1):
+        t0 = rng.integers(1e8, 2e8)
+        items = rng.choice(all_items, size=n_per_user, replace=True)
+        cats = items % n_groups
+        for j, it in enumerate(items):
+            if j >= win_lo:
+                window = cats[max(0, j - win_hi): j - win_lo + 1]
+                p = 0.85 if (window == cats[j]).any() else 0.15
+            else:
+                p = 0.5  # no past to depend on: pure noise rows
+            label = int(rng.random() < p)
+            hour = int(rng.integers(0, 24))
+            rows.append((u, int(it), int(t0 + j * 86400), label, hour))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "time", "label", "c_hour_c"])
+    df = df.sort_values(by=["time", "user_id"], kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    train = df.iloc[: int(n * 0.8)]
+    dev = df.iloc[int(n * 0.8): int(n * 0.9)]
+    test = df.iloc[int(n * 0.9):]
+    os.makedirs(path, exist_ok=True)
+    train.to_csv(os.path.join(path, "train.csv"), sep="\t", index=False)
+    dev.to_csv(os.path.join(path, "dev.csv"), sep="\t", index=False)
+    test.to_csv(os.path.join(path, "test.csv"), sep="\t", index=False)
+    item_meta = pd.DataFrame({
+        "item_id": all_items,
+        "i_category_c": (all_items % n_groups).astype(int),
+        "i_quality_f": rng.uniform(0, 1, size=n_items).round(3),
+    })
+    item_meta.to_csv(os.path.join(path, "item_meta.csv"), sep="\t", index=False)
+    user_meta = pd.DataFrame({
+        "user_id": np.arange(1, n_users + 1),
+        "u_group_c": rng.integers(0, n_groups, size=n_users),
+    })
+    user_meta.to_csv(os.path.join(path, "user_meta.csv"), sep="\t", index=False)
+    return {"n_users": n_users, "n_items": n_items,
+            "win_lo": win_lo, "win_hi": win_hi}
+
+
 def make_impression_dataset(
     path: str,
     n_users: int = 120,

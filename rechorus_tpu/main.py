@@ -130,7 +130,10 @@ def enable_compilation_cache(args):
             import jax
 
             jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            # cache EVERY program: on the axon tunnel even a trivial
+            # primitive costs ~0.45 s of compile RPC, and a research run
+            # dispatches dozens of them eagerly during setup
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         except Exception as e:  # cache is an optimization, never fatal
             logging.warning("Could not enable XLA compilation cache: %s", e)
 

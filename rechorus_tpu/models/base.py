@@ -119,7 +119,17 @@ class GeneralModel(BaseModel):
         optimizer updates): {param path: feed keys whose ids touch it}.
         Paths missing from a subclass's param tree are ignored (see
         ops/lazy_adam.resolve_lazy_rows); subclasses with differently
-        named tables can override."""
+        named tables can override.
+
+        CONSTRAINT (packed lane, --packed_opt_rows, default ON): every
+        read of a listed table MUST go through TableEmbed's gather (the
+        sparse-lookup context). During the epoch scan the flax-visible
+        param leaf is a dead ZEROS placeholder -- any bypass read
+        (nn.Embed.attend, raw `params[path]` access, a loss term over the
+        whole table) silently sees zeros. Models that need whole-table
+        reads (e.g. LightGCN's propagation) must NOT list that table
+        here. Run with --debug_nan_placeholder 1 to NaN-fill the
+        placeholder and surface violations (the NaN-loss abort fires)."""
         return {
             ("u_embeddings", "embedding"): ("user_id",),
             ("i_embeddings", "embedding"): ("item_id",),

@@ -25,6 +25,9 @@ def pack_keys(heads, relations, tails, n_relations: int, n_entities: int):
 
 
 def sorted_triplet_keys(relation_df, n_relations: int, n_entities: int) -> np.ndarray:
+    """Sorted unique packed triplet keys, HOST-side int64 (the device
+    representation is the two-half cuckoo table below, which has no
+    key-space limit until n_relations * n_entities overflows int32)."""
     keys = pack_keys(
         relation_df["head"].to_numpy(),
         relation_df["relation"].to_numpy(),
@@ -32,14 +35,20 @@ def sorted_triplet_keys(relation_df, n_relations: int, n_entities: int) -> np.nd
         n_relations,
         n_entities,
     )
-    # is_member computes query keys in int32 on device (jax x64 is off);
-    # guard the key space so the packed ordering survives the cast
-    max_key = (int(n_entities) * n_relations) * n_entities
-    if max_key >= 2 ** 31:
+    return np.sort(np.unique(keys))
+
+
+def split_keys(h, r, t, n_relations: int, n_entities: int):
+    """(hi, lo) int32 halves of a triplet key, computable in int32 on
+    device (jax x64 is off): hi = head, lo = r * E + t. Valid while
+    n_relations * n_entities < 2^31 -- e.g. 100M entities at R=20 --
+    vs the single-int32 packing's R * E^2 bound that overflowed at
+    ~15k entities."""
+    if int(n_relations) * int(n_entities) >= 2 ** 31:
         raise ValueError(
-            f"triplet key space {max_key} exceeds int32; enable jax x64 or "
-            "re-index entities before packing")
-    return np.sort(np.unique(keys)).astype(np.int32)
+            f"lo half n_relations*n_entities = {n_relations * n_entities} "
+            "exceeds int32; re-index entities before packing")
+    return h, r * n_entities + t
 
 
 def searchsorted_unrolled(sorted_arr: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
@@ -65,81 +74,98 @@ def searchsorted_unrolled(sorted_arr: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarra
     return lo
 
 
-# 2-choice cuckoo hashing of the packed triplet keys: membership on
-# device is TWO INDEPENDENT gathers + compares instead of a ~19-level
+# 2-choice cuckoo hashing of the triplet keys: membership on device is
+# TWO INDEPENDENT 2-wide gathers + compares instead of a ~19-level
 # binary search whose gathers are sequentially dependent (each level
-# waits on the previous one's loaded value). The table is built once on
+# waits on the previous one's loaded value). Keys are stored as their
+# (hi, lo) int32 halves (split_keys) so the key space scales past the
+# single-int32 bound -- table shape [cap, 2]. The table is built once on
 # the host at corpus load (readers.KGReader.member_table) and cached.
 _CUCKOO_M1 = np.uint32(0x9E3779B1)  # Knuth golden-ratio multiplier
 _CUCKOO_M2 = np.uint32(0x85EBCA77)  # murmur3 finalizer constant (odd)
-_EMPTY = np.int32(-1)               # packed keys are always >= 0
+_CUCKOO_M3 = np.uint32(0xC2B2AE3D)  # murmur3 finalizer constant 2 (odd)
+_EMPTY = np.int32(-1)               # key halves are always >= 0
 
 
-def _host_slots(keys_u32: np.ndarray, b: int):
+def _host_slots(hi_u32: np.ndarray, lo_u32: np.ndarray, b: int):
     with np.errstate(over="ignore"):
-        s1 = (keys_u32 * _CUCKOO_M1) >> np.uint32(32 - b)
-        s2 = (keys_u32 * _CUCKOO_M2) >> np.uint32(32 - b)
+        mix = lo_u32 * _CUCKOO_M1 ^ hi_u32 * _CUCKOO_M3
+        s1 = (mix * _CUCKOO_M1) >> np.uint32(32 - b)
+        s2 = (mix * _CUCKOO_M2) >> np.uint32(32 - b)
     return s1.astype(np.int64), s2.astype(np.int64)
 
 
-def _try_build(table: np.ndarray, keys: np.ndarray, b: int,
+def _try_build(table: np.ndarray, hi: np.ndarray, lo: np.ndarray, b: int,
                max_kicks: int = 500) -> bool:
-    s1, s2 = _host_slots(keys.astype(np.uint32), b)
+    s1, s2 = _host_slots(hi.astype(np.uint32), lo.astype(np.uint32), b)
     # vectorized first pass: the first claimant of each s1 slot wins
     order = np.argsort(s1, kind="stable")
-    first = np.ones(len(keys), bool)
+    first = np.ones(len(hi), bool)
     first[1:] = s1[order][1:] != s1[order][:-1]
     winners = order[first]
-    table[s1[winners]] = keys[winners]
+    table[s1[winners], 0] = hi[winners]
+    table[s1[winners], 1] = lo[winners]
     # standard cuckoo eviction chains for the remainder (~collision tail)
     for idx in order[~first]:
-        k = int(keys[idx])
+        kh, kl = int(hi[idx]), int(lo[idx])
         slot = int(s2[idx])
         for _ in range(max_kicks):
-            cur = int(table[slot])
-            table[slot] = k
-            if cur == int(_EMPTY):
+            ch, cl = int(table[slot, 0]), int(table[slot, 1])
+            table[slot, 0], table[slot, 1] = kh, kl
+            if cl == int(_EMPTY):
                 break
-            k = cur
-            a1, a2 = _host_slots(np.uint32(k), b)
+            kh, kl = ch, cl
+            a1, a2 = _host_slots(np.uint32(kh), np.uint32(kl), b)
             slot = int(a2) if slot == int(a1) else int(a1)
         else:
             return False
     return True
 
 
-def build_member_table(keys) -> np.ndarray:
-    """Host-side build of the cuckoo membership table -> int32 [cap]
-    (cap a power of two, load factor <= 0.5, empty slots = -1). Grows
-    and rebuilds on the (rare) insertion failure, so lookups never need
-    more than the two canonical slots."""
-    keys = np.unique(np.asarray(keys, dtype=np.int64)).astype(np.int32)
-    n = max(1, len(keys))
+def build_member_table(heads, relations, tails, n_relations: int,
+                       n_entities: int) -> np.ndarray:
+    """Host-side build of the cuckoo membership table -> int32 [cap, 2]
+    (cap a power of two, load factor <= 0.5, empty slots = (-1, -1)).
+    Grows and rebuilds on the (rare) insertion failure, so lookups never
+    need more than the two canonical slots."""
+    h = np.asarray(heads, dtype=np.int64)
+    r = np.asarray(relations, dtype=np.int64)
+    t = np.asarray(tails, dtype=np.int64)
+    hi, lo = split_keys(h, r, t, n_relations, n_entities)
+    uniq = np.unique(np.stack([hi, lo], axis=1), axis=0) if len(hi) else \
+        np.zeros((0, 2), np.int64)
+    hi, lo = uniq[:, 0].astype(np.int32), uniq[:, 1].astype(np.int32)
+    n = max(1, len(hi))
     b = max(4, int(np.ceil(np.log2(n * 2))))
     while True:
-        table = np.full(1 << b, _EMPTY, np.int32)
-        if _try_build(table, keys, b):
+        table = np.full((1 << b, 2), _EMPTY, np.int32)
+        if _try_build(table, hi, lo, b):
             return table
         b += 1
 
 
-def member_probe(table: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Membership of packed keys `q` (any shape, int32 >= 0) in the
-    cuckoo table: two data-parallel gathers, no sequential dependence."""
+def member_probe(table: jnp.ndarray, hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Membership of (hi, lo) key halves (any broadcast shape, int32 >= 0)
+    in the cuckoo table: two data-parallel gathers, no sequential
+    dependence."""
     b = int(np.log2(table.shape[0]))
-    qu = q.astype(jnp.uint32)
-    s1 = ((qu * jnp.uint32(_CUCKOO_M1)) >> jnp.uint32(32 - b)).astype(jnp.int32)
-    s2 = ((qu * jnp.uint32(_CUCKOO_M2)) >> jnp.uint32(32 - b)).astype(jnp.int32)
-    return (table[s1] == q) | (table[s2] == q)
+    mix = lo.astype(jnp.uint32) * jnp.uint32(_CUCKOO_M1) \
+        ^ hi.astype(jnp.uint32) * jnp.uint32(_CUCKOO_M3)
+    s1 = ((mix * jnp.uint32(_CUCKOO_M1)) >> jnp.uint32(32 - b)).astype(jnp.int32)
+    s2 = ((mix * jnp.uint32(_CUCKOO_M2)) >> jnp.uint32(32 - b)).astype(jnp.int32)
+    hit1 = (table[s1, 0] == hi) & (table[s1, 1] == lo)
+    hit2 = (table[s2, 0] == hi) & (table[s2, 1] == lo)
+    return hit1 | hit2
 
 
 def is_member(member_table: jnp.ndarray, h, r, t, n_relations: int, n_entities: int):
-    """Vectorized membership of (h, r, t) in the packed triplet set.
+    """Vectorized membership of (h, r, t) in the triplet set.
     h/r/t broadcastable int arrays -> bool array of the broadcast shape.
-    `member_table` is the cuckoo table from build_member_table (NOT the
-    sorted key array; see readers.KGReader.member_table)."""
-    q = (h.astype(jnp.int32) * n_relations + r.astype(jnp.int32)) * n_entities + t.astype(jnp.int32)
-    return member_probe(member_table, q)
+    `member_table` is the [cap, 2] cuckoo table from build_member_table
+    (NOT the sorted key array; see readers.KGReader.member_table)."""
+    hi = h.astype(jnp.int32)
+    lo = r.astype(jnp.int32) * n_entities + t.astype(jnp.int32)
+    return member_probe(member_table, hi, lo)
 
 
 def relational_intervals(

@@ -128,8 +128,8 @@ def _exact_bucket_select(bm, kk: int, fan: int = 16):
     l1 = (sb[:, :, None] * fan
           + jnp.arange(fan, dtype=sb.dtype)[None, None, :]).reshape(B, -1)
     v1 = jnp.take_along_axis(bm, l1, axis=1)                  # [B, kk2*fan]
-    _, sel = jax.lax.top_k(v1, min(kk, v1.shape[1]))
-    return jnp.take_along_axis(l1, sel, axis=1)
+    vals, sel = jax.lax.top_k(v1, min(kk, v1.shape[1]))
+    return vals, jnp.take_along_axis(l1, sel, axis=1)
 
 
 # full-width lax.top_k on the bucket-max matrix is fine below this many
@@ -210,10 +210,19 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
                                  n_valid=n_valid, col_offset=col_offset)
         kk = min(k_wide, bm.shape[1])
         if bm.shape[1] > MAX_DIRECT_BUCKET_TOPK:
-            gb = _exact_bucket_select(bm, kk)
+            gv, gb = _exact_bucket_select(bm, kk)
         else:
-            _, gb = jax.lax.top_k(bm, kk)
-        cs, cand = _exact_rescore(u, table, bias, PT.expand_bucket_items(gb, bucket),
+            gv, gb = jax.lax.top_k(bm, kk)
+        raw_cand = PT.expand_bucket_items(gb, bucket)
+        # a -inf selected bucket is a pad slot (fewer than kk finite
+        # buckets): its id may sit in _exact_bucket_select's fan padding
+        # (>= G), and with the strided layout expand_bucket_items can
+        # alias such ids back onto REAL item positions when G % NB != 0,
+        # injecting duplicate candidates. Force their expansions out of
+        # range so _exact_rescore masks them (ADVICE r3).
+        pad_mask = jnp.repeat(jnp.isneginf(gv), bucket, axis=1)
+        raw_cand = jnp.where(pad_mask, N, raw_cand)
+        cs, cand = _exact_rescore(u, table, bias, raw_cand,
                                   col_offset, n_valid, N)
         return _final_select(cs, cand, k, k_wide, clicked_rows, col_offset)
 

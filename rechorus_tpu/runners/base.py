@@ -103,6 +103,12 @@ class BaseRunner:
         parser.add_argument("--l2", type=float, default=0, help="Weight decay in optimizer.")
         parser.add_argument("--batch_size", type=int, default=256, help="Batch size during training.")
         parser.add_argument("--eval_batch_size", type=int, default=256, help="Batch size during testing.")
+        parser.add_argument("--eval_candidate_chunk", type=int, default=8192,
+                            help="test_all, models without the catalog "
+                                 "protocol: stream the candidate axis "
+                                 "through the ordinary forward in chunks "
+                                 "of this many items when the dense [B, N] "
+                                 "feed would be memory-hostile (>2 GB).")
         parser.add_argument("--optimizer", type=str, default="Adam", help="optimizer: SGD, Adam, Adagrad, Adadelta")
         parser.add_argument("--num_workers", type=int, default=0, help="Kept for CLI parity; input pipeline is on-device.")
         parser.add_argument("--pin_memory", type=int, default=0, help="Kept for CLI parity.")
@@ -153,7 +159,20 @@ class BaseRunner:
                                  "does ONE row gather + ONE row scatter per table "
                                  "(TPU scatter cost is row-count-bound, not "
                                  "width-bound). 0 = debug fallback to the "
-                                 "three-scatter lane (bit-identical in f32).")
+                                 "three-scatter lane (bit-identical in f32). "
+                                 "NOTE: with --bf16_emb, the packed carry is "
+                                 "f32 for the whole epoch, so tables round to "
+                                 "bf16 once per EPOCH instead of once per "
+                                 "step -- trajectories differ slightly from "
+                                 "--packed_opt_rows 0 (see docs/PERF.md).")
+        parser.add_argument("--debug_nan_placeholder", type=int, default=0,
+                            help="Debug (packed lane): fill the dead zeros "
+                                 "placeholder spliced over each packed table "
+                                 "with NaN so any table read that bypasses "
+                                 "TableEmbed's sparse-lookup gather (attend, "
+                                 "raw param access, whole-table loss terms) "
+                                 "NaNs the loss instead of silently reading "
+                                 "zeros. See BaseModel.lazy_table_specs.")
         parser.add_argument("--bf16_emb", type=int, default=0,
                             help="Store embedding tables in bfloat16 (half the "
                                  "HBM; gathered rows cast to f32, Adam moments "
@@ -188,6 +207,7 @@ class BaseRunner:
         self.l2 = args.l2
         self.batch_size = args.batch_size
         self.eval_batch_size = args.eval_batch_size
+        self.eval_candidate_chunk = int(getattr(args, "eval_candidate_chunk", 8192))
         self.optimizer_name = args.optimizer
         self.topk = [int(x) for x in args.topk.split(",")]
         self.metrics = [m.strip().upper() for m in args.metric.split(",")]
@@ -202,6 +222,7 @@ class BaseRunner:
         self.lazy_emb_adam = bool(getattr(args, "lazy_emb_adam", 0))
         self.sparse_emb_grad = bool(getattr(args, "sparse_emb_grad", 1))
         self.packed_opt_rows = bool(getattr(args, "packed_opt_rows", 1))
+        self.debug_nan_placeholder = bool(getattr(args, "debug_nan_placeholder", 0))
         self.bf16_emb = bool(getattr(args, "bf16_emb", 0))
         if self.bf16_emb:
             if not self.lazy_emb_adam:
@@ -262,8 +283,24 @@ class BaseRunner:
         key = jax.random.key(seed)
         # init through the TRAIN trace so train-only submodules (e.g.
         # DIEN's aux net) get their parameters created
-        feed = batcher.train_feed(arrays, idx, key) if batcher.phase == "train" else batcher.eval_feed(arrays, idx)
-        variables = model.init({"params": key, "dropout": key}, feed, training=batcher.phase == "train")
+        is_train = batcher.phase == "train"
+
+        def _init_fn(key, arrays, idx):
+            feed = (batcher.train_feed(arrays, idx, key) if is_train
+                    else batcher.eval_feed(arrays, idx))
+            return model.init({"params": key, "dropout": key}, feed,
+                              training=is_train)
+
+        # ONE jitted program instead of dozens of eager per-primitive
+        # compiles: on the axon tunnel each eager compile costs ~0.45 s of
+        # RPC, so an eager init was ~20 s of wall per process. Feed
+        # assembly is jit-safe (it runs inside the jitted epoch scan).
+        try:
+            variables = jax.jit(_init_fn)(key, arrays, idx)
+        except (jax.errors.JAXTypeError, jax.errors.JAXIndexError,
+                jax.errors.UnexpectedTracerError):
+            # a model whose init inspects concrete values falls back
+            variables = _init_fn(key, arrays, idx)
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
         scales = model.lr_scales(params) if hasattr(model, "lr_scales") else None
@@ -298,7 +335,7 @@ class BaseRunner:
                     params)
             tx = build_optimizer(self.optimizer_name, self.learning_rate, self.l2, scales)
             self._lazy_specs = {}
-        opt_state = tx.init(params)
+        opt_state = jax.jit(tx.init)(params)  # one compile, not one per leaf
         self._tx = tx
         state = TrainState(params=params, extra_vars=extra, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
         if hasattr(model, "post_init_state"):
@@ -367,7 +404,14 @@ class BaseRunner:
         if "train" in self._compiled:
             return self._compiled["train"]
         tx = self._tx
-        step_fn = self._build_step_fn(model, batcher, tx)
+        # the packed-path set is discovered at epoch_fn trace time (below)
+        # and consumed by step_fn at ITS trace time; thread it through an
+        # explicit shared box so the coupling is scoped to this
+        # epoch_fn/step_fn pair instead of late-bound instance state
+        # (ADVICE r3: a step_fn reused by another compiled program must
+        # never silently take the unpacked lane against packed leaves)
+        packed_box = {"paths": set()}
+        step_fn = self._build_step_fn(model, batcher, tx, packed_box)
 
         # the tail batch (n % batch_size) runs at its TRUE smaller shape
         # inside the SAME jit call, after the scan over full batches -- no
@@ -397,7 +441,8 @@ class BaseRunner:
                     params, opt, pack_dtypes = pack_lazy_leaves(
                         state.params, state.opt_state, paths)
                     state = state.replace(params=params, opt_state=opt)
-            self._packed_paths = set(pack_dtypes)
+            packed_box["paths"] = set(pack_dtypes)
+            self._packed_paths = packed_box["paths"]  # observability (tests)
 
             step = lambda st, xs: step_fn(arrays, st, xs)  # noqa: E731
             keys = jax.random.split(epoch_key, perm.shape[0] + 1)
@@ -418,7 +463,7 @@ class BaseRunner:
         self._compiled["train"] = epoch_fn
         return epoch_fn
 
-    def _build_step_fn(self, model, batcher, tx):
+    def _build_step_fn(self, model, batcher, tx, packed_box=None):
 
         def step_fn(arrays, state: TrainState, xs):
             idx, key = xs
@@ -470,7 +515,7 @@ class BaseRunner:
                 from rechorus_tpu.ops.lazy_adam import resolve_lazy_rows
 
                 rows_map = resolve_lazy_rows(self._lazy_specs, state.params, feed)
-            packed_paths = getattr(self, "_packed_paths", None) or set()
+            packed_paths = (packed_box or {}).get("paths") or set()
             if rows_map and self.sparse_emb_grad and set(rows_map) == packed_paths:
                 # packed-carry lane (see epoch_fn): the lazy leaves of
                 # state.params hold [N, 3D] = [p | mu | nu]; one gather
@@ -496,10 +541,13 @@ class BaseRunner:
                 for _path in rows_map:
                     _packed = _tree_get(state.params, _path)
                     fb_tables[_path] = jax.lax.stop_gradient(_packed)
-                    view_params = _tree_set(
-                        view_params, _path,
-                        jnp.zeros((_packed.shape[0], _packed.shape[1] // 3),
-                                  jnp.float32))
+                    ph_shape = (_packed.shape[0], _packed.shape[1] // 3)
+                    # --debug_nan_placeholder: poison the dead placeholder
+                    # so bypass reads NaN the loss instead of seeing zeros
+                    ph = (jnp.full(ph_shape, jnp.nan, jnp.float32)
+                          if self.debug_nan_placeholder
+                          else jnp.zeros(ph_shape, jnp.float32))
+                    view_params = _tree_set(view_params, _path, ph)
                 rest0, reassemble = split_params(view_params, list(rows_map))
 
                 def sparse_loss_fn(vals, rest):
@@ -597,26 +645,76 @@ class BaseRunner:
             )
         return scores
 
+    def _tiled_forward_ranks(self, model, batcher, variables, arrays, idx,
+                             n_items: int):
+        """Candidate-tiled test_all ranks through the model's ORDINARY
+        forward: stream the candidate axis in fixed [B, chunk] slices
+        under a lax.scan, so non-catalog-protocol models (KDA, DIN,
+        SLRC+, Chorus, ...) evaluate full catalogs without materializing
+        [B, N] feeds (VERDICT r3 item 5). Semantics identical to
+        ops/pallas_kernels.catalog_ranks (ties >=, item 0 + clicked
+        excluded; reference BaseModel.py:199-203 candidate arange +
+        BaseRunner.py:244-251 masking): rank = #(>= target over real ids)
+        - #(clicked >=) - #(id0 >=) + 1. Candidate-aligned feed extras
+        (KDA intervals, Chorus categories, ...) are rebuilt per chunk by
+        eval_feed(cands=...), so every model's feed contract holds."""
+        chunk = min(self.eval_candidate_chunk, n_items)
+        probe = batcher.eval_feed(
+            arrays, idx, cands=jnp.zeros((idx.shape[0], 1), jnp.int32))
+        target = probe["_target"].astype(jnp.int32)
+        clicked = probe["_clicked_rows"].astype(jnp.int32)
+        B = target.shape[0]
+        # ONE aux forward scores [target | pad0 | clicked] for the
+        # correction terms -- no full-catalog pass needed for them
+        aux_c = jnp.concatenate(
+            [target[:, None], jnp.zeros((B, 1), jnp.int32), clicked], axis=1)
+        aux_feed = batcher.eval_feed(arrays, idx, cands=aux_c)
+        s_aux = model.apply(variables, aux_feed, training=False)["prediction"]
+        t = s_aux[:, 0]
+        zero_ge = (s_aux[:, 1] >= t).astype(jnp.int32)
+        clicked_ge = ((s_aux[:, 2:] >= t[:, None]) & (clicked > 0)).sum(1).astype(jnp.int32)
+        n_chunks = -(-n_items // chunk)
+
+        def body(total, j):
+            ids = j * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            valid = ids < n_items
+            # clamp the overhang of the last chunk: features stay
+            # gatherable, and the valid mask kills its contribution
+            cands = jnp.broadcast_to(
+                jnp.minimum(ids, n_items - 1)[None, :], (B, chunk))
+            feed_c = batcher.eval_feed(arrays, idx, cands=cands)
+            p = model.apply(variables, feed_c, training=False)["prediction"]
+            ge = ((p >= t[:, None]) & valid[None, :]).sum(1).astype(jnp.int32)
+            return total + ge, None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.int32),
+                                jnp.arange(n_chunks))
+        return total - clicked_ge - zero_ge + 1
+
+    def _use_tiled_forward(self, model, batcher) -> bool:
+        """Route non-catalog-protocol models through the candidate-tiled
+        eval on large catalogs (it was a RuntimeError OOM guard before
+        r4). Pure size rule: dense [B, N] candidate feeds blow up with
+        per-candidate extras (KDA's [B, N, H, R] intervals dwarf the
+        embedding-gather estimate), while tiling at moderate N costs only
+        scan overhead -- so tile whenever the catalog is several chunks
+        wide. Research catalogs (ML-1M 3k, Grocery 8.7k) stay dense."""
+        if not getattr(batcher, "test_all", False):
+            return False
+        if getattr(model, "supports_catalog", False):
+            return False
+        return batcher.corpus.n_items > 4 * self.eval_candidate_chunk
+
     def _get_eval_fn(self, model, batcher, phase: str):
         if phase in self._compiled:
             return self._compiled[phase]
-        if getattr(batcher, "test_all", False) and not getattr(model, "supports_catalog", False):
-            # the dense test_all path runs the model forward over a
-            # [B, n_items] candidate axis; its embedding gathers alone are
-            # B*N*d floats. Fail with guidance instead of an XLA OOM
-            # (COVERAGE.md lists the catalog-protocol models).
-            n = batcher.corpus.n_items
-            d = int(getattr(model, "emb_size", 64) or 64)
-            gb = self.eval_batch_size * n * d * 4 / 2**30
-            if gb > 8.0:
-                raise RuntimeError(
-                    f"--test_all with n_items={n} needs ~{gb:.0f} GB through the "
-                    f"dense [B, N] eval path, but {type(model).__name__} does not "
-                    "implement the catalog protocol (supports_catalog). Use a "
-                    "catalog-protocol model (see COVERAGE.md), or lower "
-                    f"--eval_batch_size (currently {self.eval_batch_size}).")
+        tiled_forward = self._use_tiled_forward(model, batcher)
 
         def rank_step(arrays, variables, idx):
+            if tiled_forward:
+                return variables, self._tiled_forward_ranks(
+                    model, batcher, variables, arrays, idx,
+                    batcher.corpus.n_items)
             feed = batcher.eval_feed(arrays, idx)
             if getattr(batcher, "test_all", False):
                 from rechorus_tpu.ops.pallas_kernels import catalog_ranks

@@ -1,14 +1,25 @@
 """Production-scale throughput benchmark (single chip).
 
 The research datasets (9k-item catalogs) undersell the design; this
-measures the regime the framework targets: 200k users x 100k items,
+measures the regime the framework targets: 200k users x 1M items,
 batch 4096, device-side negative sampling -- training examples/s and
 full-catalog top-100 serving rate.
 
-Measured on 1 TPU chip (2026-08-17): ~1.39M train examples/s
-(19.2M params, 2M-interaction epoch in 1.43 s); full-catalog top-100
-serving 30.6k users/s exact, 280k users/s via the --approx_topk lane
-(bf16 MXU matmul + lax.approx_max_k PartialReduce, recall ~0.98).
+Lanes (select via flags; `--compare 1` runs dense-Adam then the packed
+lazy+sparse+bf16 lane in ONE process so bench.py pays the TPU-client
+setup once):
+
+  train (default)   training examples/s with the optimizer lane chosen
+                    by --lazy_adam/--sparse_grad/--packed/--bf16
+  --compare 1       dense lane, then packed [p|mu|nu] lane, both emitted
+  --serve LIST      comma list of dense_exact,dense_approx,tiled_exact,
+                    tiled_approx full-catalog top-100 serving benches
+                    ("all" = every lane that fits the catalog size)
+
+Measured on 1 TPU chip (2026-08-17, 2M interactions): ~1.39M train
+examples/s on 100k items; round 3 (1M items): dense 434k ex/s, packed
+sparse lane 1.21M ex/s; serving 30.6k users/s exact / 280k approx at
+100k items.
 """
 from __future__ import annotations
 
@@ -22,29 +33,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--users", type=int, default=200_000)
-    ap.add_argument("--items", type=int, default=100_000)
-    ap.add_argument("--emb_size", type=int, default=64)
-    ap.add_argument("--batch_size", type=int, default=4096)
-    ap.add_argument("--interactions", type=int, default=2_000_000)
-    ap.add_argument("--lazy_adam", type=int, default=0,
-                    help="Benchmark the --lazy_emb_adam lane (touched-rows "
-                         "optimizer updates, ops/lazy_adam.py)")
-    ap.add_argument("--bf16", type=int, default=0,
-                    help="Benchmark --bf16_emb storage (with --lazy_adam)")
-    ap.add_argument("--sparse_grad", type=int, default=0,
-                    help="Benchmark the --sparse_emb_grad lane (row-block "
-                         "cotangents, no dense table grad; with --lazy_adam)")
-    ap.add_argument("--packed", type=int, default=1,
-                    help="With --sparse_grad: packed [p|mu|nu] epoch carry "
-                         "(one row gather + one row scatter per table per "
-                         "step; runners/base.py --packed_opt_rows lane)")
-    ap.add_argument("--profile", default="",
-                    help="capture a jax.profiler trace of one steady epoch here")
-    a = ap.parse_args()
+def _enable_cache():
+    """Persistent XLA compilation cache (same dir as main.py's default) so
+    repeated driver/bench runs skip recompiles of the big scatter programs."""
+    try:
+        import jax
 
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/rechorus_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+def run_train(a, users, items, idx_mat, *, lazy, sparse, packed, bf16, label=""):
+    """Build a fresh BPRMF model at (users,items,emb) and time `a.epochs`
+    jitted-scan epochs with the requested optimizer lane. Returns ex/s."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,24 +58,25 @@ def main():
     from rechorus_tpu.registry import get_model
     from rechorus_tpu.runners.base import TrainState, build_optimizer
 
-    U, I, D, B, n_inter = a.users, a.items, a.emb_size, a.batch_size, a.interactions
-    rng = np.random.default_rng(0)
-    users = jnp.asarray(rng.integers(1, U, size=n_inter), dtype=jnp.int32)
-    items = jnp.asarray(rng.integers(1, I, size=n_inter), dtype=jnp.int32)
+    U, I, D, B = a.users, a.items, a.emb_size, a.batch_size
     clicked = jnp.zeros((U, 1), dtype=jnp.int32)
 
-    if a.bf16:
-        from rechorus_tpu.ops.layers import set_table_dtype
+    from rechorus_tpu.ops.layers import set_table_dtype
 
-        set_table_dtype(jnp.bfloat16)
+    # the dtype global is read at every module-construction (trace) time,
+    # so it must stay set for the whole lane; each run_train call re-asserts
+    # it at entry, so back-to-back lanes (--compare) never leak the setting
+    set_table_dtype(jnp.bfloat16 if bf16 else None)
     model = get_model("BPRMF")(user_num=U, item_num=I, emb_size=D, num_neg=1)
-    feed0 = {"user_id": users[:B], "item_id": jnp.stack([items[:B], items[B:2 * B]], 1)}
-    params = model.init({"params": jax.random.key(0)}, feed0, training=False)["params"]
+    feed0 = {"user_id": users[: B],
+             "item_id": jnp.stack([items[: B], items[B: 2 * B]], 1)}
+    params = model.init({"params": jax.random.key(0)}, feed0,
+                        training=False)["params"]
     tx = build_optimizer("Adam", 1e-3, 1e-6)
     state = TrainState(params=params, extra_vars={}, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
 
-    if a.lazy_adam:
+    if lazy:
         from rechorus_tpu.ops.lazy_adam import LazyAdamTx, lazy_adam_step, resolve_lazy_rows
         from rechorus_tpu.runners.base import _decay_mask
 
@@ -88,7 +93,7 @@ def main():
             out = model.apply({"params": p}, feed, training=True)
             return losses.bpr_multi_neg(out["prediction"])
 
-        if a.lazy_adam and a.sparse_grad and a.packed:
+        if lazy and sparse and packed:
             from rechorus_tpu.ops import layers as L
             from rechorus_tpu.ops.lazy_adam import (
                 _get as _tget, _set as _tset,
@@ -121,7 +126,7 @@ def main():
                 tx, state.params, state.opt_state, rows_info, gathered, g_vals, g_rest)
             return state.replace(params=new_params, opt_state=new_opt,
                                  step=state.step + 1), loss
-        if a.lazy_adam and a.sparse_grad:
+        if lazy and sparse:
             from rechorus_tpu.ops import layers as L
             from rechorus_tpu.ops.lazy_adam import (
                 lazy_adam_sparse_step, sparse_rows_and_vals, split_params)
@@ -144,7 +149,7 @@ def main():
             return state.replace(params=new_params, opt_state=new_opt,
                                  step=state.step + 1), loss
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        if a.lazy_adam:
+        if lazy:
             rows_map = resolve_lazy_rows(specs, state.params, feed)
             new_params, new_opt = lazy_adam_step(tx, state.params, grads,
                                                  state.opt_state, rows_map)
@@ -155,7 +160,7 @@ def main():
                              opt_state=new_opt, step=state.step + 1), loss
 
     pack_paths = []
-    if a.lazy_adam and a.sparse_grad and a.packed:
+    if lazy and sparse and packed:
         pack_paths = list(resolve_lazy_rows(specs, state.params, feed0))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -179,31 +184,41 @@ def main():
             state = state.replace(params=params, opt_state=opt)
         return state, losses
 
-    n_steps = n_inter // B
-    idx_mat = jnp.asarray(rng.permutation(n_inter)[: n_steps * B].reshape(n_steps, B),
-                          dtype=jnp.int32)
+    n_steps = idx_mat.shape[0]
     state, _ = epoch(state, idx_mat, jax.random.key(0))
     jax.block_until_ready(state.params)
     t0 = time.perf_counter()
-    for e in range(3):
+    for e in range(a.epochs):
         state, _ = epoch(state, idx_mat, jax.random.key(e))
     jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / 3
+    dt = (time.perf_counter() - t0) / a.epochs
     if a.profile:
         with jax.profiler.trace(a.profile):
             state, _ = epoch(state, idx_mat, jax.random.key(99))
             jax.block_until_ready(state.params)
-    print(json.dumps({"train_examples_per_s": round(n_steps * B / dt),
-                      "s_per_epoch": round(dt, 3),
-                      "lazy_adam": a.lazy_adam, "sparse_grad": a.sparse_grad,
-                      "params_M": round(sum(x.size for x in jax.tree_util.tree_leaves(state.params)) / 1e6, 1)}), flush=True)
-    if a.lazy_adam:
-        return  # serving lanes don't depend on the optimizer
+    row = {"train_examples_per_s": round(n_steps * a.batch_size / dt),
+           "s_per_epoch": round(dt, 3),
+           "lazy_adam": int(lazy), "sparse_grad": int(sparse),
+           "params_M": round(sum(x.size for x in
+                                 jax.tree_util.tree_leaves(state.params)) / 1e6, 1)}
+    if label:
+        row["lane"] = label
+    print(json.dumps(row), flush=True)
+    return state
 
-    # Serving: T batches scanned in ONE call so the tunnel RPC amortizes;
-    # the dependent scalar is materialized to defeat async-dispatch timing.
-    T = 20
-    serve_users = jnp.asarray(rng.integers(1, U, size=(T, B)), dtype=jnp.int32)
+
+def run_serve(a, state, serve_lanes):
+    """Full-catalog top-100 serving rate. T batches scanned in ONE call so
+    the tunnel RPC amortizes; the dependent scalar defeats async timing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rechorus_tpu.ops.topk import tiled_catalog_topk
+
+    rng = np.random.default_rng(1)
+    T, B, I = 20, a.batch_size, a.items
+    serve_users = jnp.asarray(rng.integers(1, a.users, size=(T, B)), dtype=jnp.int32)
 
     def serve_bench(label, body):
         @jax.jit
@@ -222,15 +237,13 @@ def main():
         t0 = time.perf_counter()
         float(np.asarray(run(state.params, serve_users)))
         dt = (time.perf_counter() - t0) / T
-        print(json.dumps({label: round(B / dt), "catalog": I}))
+        print(json.dumps({label: round(B / dt), "catalog": I}), flush=True)
         return B / dt
 
-    from rechorus_tpu.ops.topk import tiled_catalog_topk
-
-    if I <= 200_000:
-        # dense lanes only fit at research/mid scale
+    if "dense_exact" in serve_lanes and I <= 200_000:
         serve_bench("serving_users_per_s_full_catalog_top100_dense_exact",
                     lambda u, it: jax.lax.top_k(u @ it.T, 100))
+    if "dense_approx" in serve_lanes and I <= 200_000:
         serve_bench("serving_users_per_s_full_catalog_top100_dense_approx",
                     lambda u, it: jax.lax.approx_max_k(
                         u.astype(jnp.bfloat16) @ it.astype(jnp.bfloat16).T, 100,
@@ -238,11 +251,97 @@ def main():
     # product lanes (runners/base.py predict_topk routes here for
     # catalogs >= ops.topk.MIN_ROWS_FOR_TILED): hierarchical exact
     # streaming top-k, and the per-tile approx fast lane
-    serve_bench("serving_users_per_s_full_catalog_top100_tiled_exact",
-                lambda u, it: tiled_catalog_topk(u, it, 100))
-    serve_bench("serving_users_per_s_full_catalog_top100_tiled_approx",
-                lambda u, it: tiled_catalog_topk(u, it, 100, approx=True,
-                                                 recall_target=0.98))
+    if "tiled_exact" in serve_lanes:
+        serve_bench("serving_users_per_s_full_catalog_top100_tiled_exact",
+                    lambda u, it: tiled_catalog_topk(u, it, 100))
+    if "tiled_approx" in serve_lanes:
+        serve_bench("serving_users_per_s_full_catalog_top100_tiled_approx",
+                    lambda u, it: tiled_catalog_topk(u, it, 100, approx=True,
+                                                     recall_target=0.98))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=200_000)
+    ap.add_argument("--items", type=int, default=100_000)
+    ap.add_argument("--emb_size", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=4096)
+    ap.add_argument("--interactions", type=int, default=2_000_000)
+    ap.add_argument("--epochs", type=int, default=3, help="timing epochs")
+    ap.add_argument("--train", type=int, default=1, help="run the training lane")
+    ap.add_argument("--compare", type=int, default=0,
+                    help="run dense Adam AND the packed lazy+sparse+bf16 lane "
+                         "in one process (ignores the per-lane flags below)")
+    ap.add_argument("--lazy_adam", type=int, default=0,
+                    help="Benchmark the --lazy_emb_adam lane (touched-rows "
+                         "optimizer updates, ops/lazy_adam.py)")
+    ap.add_argument("--bf16", type=int, default=0,
+                    help="Benchmark --bf16_emb storage (with --lazy_adam)")
+    ap.add_argument("--sparse_grad", type=int, default=0,
+                    help="Benchmark the --sparse_emb_grad lane (row-block "
+                         "cotangents, no dense table grad; with --lazy_adam)")
+    ap.add_argument("--packed", type=int, default=1,
+                    help="With --sparse_grad: packed [p|mu|nu] epoch carry "
+                         "(one row gather + one row scatter per table per "
+                         "step; runners/base.py --packed_opt_rows lane)")
+    ap.add_argument("--serve", default="auto",
+                    help="comma list of dense_exact,dense_approx,tiled_exact,"
+                         "tiled_approx serving lanes; 'all'; 'auto' = all "
+                         "when the training lane is dense (legacy behavior); "
+                         "'' = none")
+    ap.add_argument("--profile", default="",
+                    help="capture a jax.profiler trace of one steady epoch here")
+    a = ap.parse_args()
+
+    _enable_cache()
+    import jax  # noqa: F401  (client init before timers)
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n_inter = a.interactions
+    users = jnp.asarray(rng.integers(1, a.users, size=n_inter), dtype=jnp.int32)
+    items = jnp.asarray(rng.integers(1, a.items, size=n_inter), dtype=jnp.int32)
+    n_steps = n_inter // a.batch_size
+    idx_mat = jnp.asarray(
+        rng.permutation(n_inter)[: n_steps * a.batch_size].reshape(n_steps, a.batch_size),
+        dtype=jnp.int32)
+
+    state = None
+    if a.compare:
+        run_train(a, users, items, idx_mat,
+                  lazy=False, sparse=False, packed=False, bf16=False, label="dense")
+        run_train(a, users, items, idx_mat,
+                  lazy=True, sparse=True, packed=True, bf16=True, label="packed")
+    elif a.train:
+        state = run_train(a, users, items, idx_mat,
+                          lazy=bool(a.lazy_adam), sparse=bool(a.sparse_grad),
+                          packed=bool(a.packed), bf16=bool(a.bf16))
+
+    serve = a.serve
+    if serve == "auto":
+        # legacy behavior: dense training lane also benchmarks serving
+        serve = "all" if (a.train and not a.compare and not a.lazy_adam) else ""
+    if serve:
+        lanes = ("dense_exact,dense_approx,tiled_exact,tiled_approx"
+                 if serve == "all" else serve).split(",")
+        if state is None:
+            from rechorus_tpu.registry import get_model
+
+            model = get_model("BPRMF")(user_num=a.users, item_num=a.items,
+                                       emb_size=a.emb_size, num_neg=1)
+            feed0 = {"user_id": users[: a.batch_size],
+                     "item_id": jnp.stack([items[: a.batch_size],
+                                           items[a.batch_size: 2 * a.batch_size]], 1)}
+            params = model.init({"params": jax.random.key(0)}, feed0,
+                                training=False)["params"]
+
+            class _S:  # minimal state shim for run_serve
+                pass
+
+            state = _S()
+            state.params = params
+        run_serve(a, state, lanes)
 
 
 if __name__ == "__main__":

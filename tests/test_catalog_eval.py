@@ -144,6 +144,103 @@ def test_sharded_catalog_eval_matches_dense(corpus):
         M.set_table_row_pad(1)
 
 
+def test_candidate_tiled_forward_matches_dense(corpus):
+    """VERDICT r3 item 5: the candidate-tiled test_all eval (chunked
+    candidate axis through the ordinary forward) must reproduce the dense
+    [B, N] generic path's ranks exactly. Chunk 367 exercises the
+    non-divisible overhang clamp (1501 % 367 != 0)."""
+    args = make_args()
+    model, runner, batchers, arrays, state = _setup(corpus, "SASRec", args)
+
+    model_cls = type(model)
+    orig = model_cls.supports_catalog
+    try:
+        model_cls.supports_catalog = False
+        runner._compiled.pop("test", None)
+        ranks_dense = runner.predict_ranks(
+            state, model, batchers["test"], arrays["test"], "test")
+
+        runner.eval_candidate_chunk = 367
+        runner.__dict__["_use_tiled_forward"] = lambda m, b: True
+        runner._compiled.pop("test", None)
+        ranks_tiled = runner.predict_ranks(
+            state, model, batchers["test"], arrays["test"], "test")
+    finally:
+        model_cls.supports_catalog = orig
+
+    np.testing.assert_array_equal(ranks_dense, ranks_tiled)
+
+
+@pytest.fixture(scope="module")
+def kda_corpus(tmp_path_factory):
+    from rechorus_tpu.data.synthetic import make_kg_dataset
+
+    root = tmp_path_factory.mktemp("data_kda")
+    make_kg_dataset(str(root / "SynthKG"), n_items=900)
+    reader_cls = registry.get_reader("KDAReader")
+    a = argparse.Namespace(path=str(root), dataset="SynthKG", sep="\t",
+                           include_attr=1, t_scalar=60, n_dft=32, freq_rand=0,
+                           regenerate=0)
+    return reader_cls(a)
+
+
+def _kda_args(**over):
+    base = dict(num_layers=1, num_heads=2, gamma=-1, attention_size=8,
+                pooling="average", include_val=1, neg_head_p=0.5,
+                include_attr=1, t_scalar=60, n_dft=32, freq_rand=0,
+                regenerate=0, history_max=8)
+    base.update(over)
+    return make_args(**base)
+
+
+def test_candidate_tiled_kda_matches_dense(kda_corpus):
+    """Same equivalence for a model with candidate-ALIGNED feed extras
+    (KDA's per-candidate relational intervals + item values are rebuilt
+    per chunk by eval_feed(cands=...))."""
+    args = _kda_args()
+    model, runner, batchers, arrays, state = _setup(kda_corpus, "KDA", args)
+
+    runner._compiled.pop("test", None)
+    ranks_dense = runner.predict_ranks(
+        state, model, batchers["test"], arrays["test"], "test")
+
+    runner.eval_candidate_chunk = 251
+    runner.__dict__["_use_tiled_forward"] = lambda m, b: True
+    runner._compiled.pop("test", None)
+    ranks_tiled = runner.predict_ranks(
+        state, model, batchers["test"], arrays["test"], "test")
+
+    np.testing.assert_array_equal(ranks_dense, ranks_tiled)
+
+
+@pytest.mark.slow
+def test_candidate_tiled_100k_catalog(tmp_path_factory):
+    """VERDICT r3 item 5 'Done' criterion: KDA (no catalog protocol)
+    evaluates --test_all on a >=100k-item synthetic catalog without OOM —
+    the r3 code raised a RuntimeError guard here. The dense [B, N]
+    candidate feed would be ~100k*B*(H+R) ids; the tiled path streams
+    8192-candidate chunks."""
+    from rechorus_tpu.data.synthetic import make_kg_dataset
+
+    root = tmp_path_factory.mktemp("data_kda_big")
+    make_kg_dataset(str(root / "SynthKG"), n_users=40, n_items=100_000,
+                    n_per_user=9)
+    reader_cls = registry.get_reader("KDAReader")
+    a = argparse.Namespace(path=str(root), dataset="SynthKG", sep="\t",
+                           include_attr=1, t_scalar=60, n_dft=32, freq_rand=0,
+                           regenerate=0)
+    corpus = reader_cls(a)
+    args = _kda_args(eval_batch_size=8, emb_size=16)
+    model, runner, batchers, arrays, state = _setup(corpus, "KDA", args,
+                                                    train=False)
+    assert runner._use_tiled_forward(model, batchers["test"])  # real routing
+    ranks = runner.predict_ranks(state, model, batchers["test"],
+                                 arrays["test"], "test")
+    n_rows = len(batchers["test"])
+    assert ranks.shape[0] == n_rows
+    assert (ranks >= 1).all() and (ranks <= corpus.n_items).all()
+
+
 def test_masked_topk_approx_recall():
     """--approx_topk lane: exclusions still exact, recall vs exact top-k
     high (lax.approx_max_k recall_target=0.98; on CPU it falls back to

@@ -113,16 +113,27 @@ def test_member_table_exact_membership():
     from rechorus_tpu.ops import kg as kg_ops
 
     rng = np.random.default_rng(3)
+    # 64-bit-scale key space: E large enough that R*E^2 >> int32 (the
+    # two-half table must stay exact where the old packing overflowed)
+    R, E = 5, 2_000_000
     for n in [1, 2, 7, 16, 255, 256, 4096, 100_000]:
-        keys = rng.choice(2 ** 30, size=n, replace=False).astype(np.int32)
-        keys[0] = 0  # key 0 must not collide with the empty sentinel
-        table = kg_ops.build_member_table(keys)
+        h = rng.integers(0, E, size=n).astype(np.int64)
+        r = rng.integers(0, R, size=n).astype(np.int64)
+        t = rng.integers(0, E, size=n).astype(np.int64)
+        h[0], r[0], t[0] = 0, 0, 0  # all-zero triplet vs the empty sentinel
+        table = kg_ops.build_member_table(h, r, t, R, E)
         assert (table.shape[0] & (table.shape[0] - 1)) == 0
-        in_set = set(int(k) for k in keys)
-        q = np.concatenate([keys[: min(n, 500)],
-                            rng.integers(0, 2 ** 30, size=500).astype(np.int32)])
-        got = np.asarray(kg_ops.member_probe(jnp.asarray(table), jnp.asarray(q)))
-        expect = np.array([int(x) in in_set for x in q])
+        in_set = set(zip(h.tolist(), r.tolist(), t.tolist()))
+        m = min(n, 500)
+        qh = np.concatenate([h[:m], rng.integers(0, E, size=500)])
+        qr = np.concatenate([r[:m], rng.integers(0, R, size=500)])
+        qt = np.concatenate([t[:m], rng.integers(0, E, size=500)])
+        got = np.asarray(kg_ops.is_member(
+            jnp.asarray(table), jnp.asarray(qh, dtype=jnp.int32),
+            jnp.asarray(qr, dtype=jnp.int32), jnp.asarray(qt, dtype=jnp.int32),
+            R, E))
+        expect = np.array([(int(a), int(b), int(c)) in in_set
+                           for a, b, c in zip(qh, qr, qt)])
         np.testing.assert_array_equal(got, expect, err_msg=f"n={n}")
 
 

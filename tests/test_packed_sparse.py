@@ -118,6 +118,17 @@ def test_packed_lane_on_mesh(data_root):
         assert np.all(np.isfinite(leaf))
 
 
+def test_nan_placeholder_is_dead_in_correct_models(data_root):
+    """--debug_nan_placeholder poisons the spliced placeholder; a model
+    whose table reads all go through TableEmbed's sparse-lookup gather
+    (BPRMF) must still train with a finite loss — proving the
+    placeholder is truly dead code for the supported model set."""
+    _, loss, runner = _run_epochs(data_root, "BPRMF", packed=1,
+                                  margs={"debug_nan_placeholder": 1}, epochs=1)
+    assert runner._packed_paths
+    assert np.isfinite(loss)
+
+
 def test_packed_lane_engages_with_l2_decay(data_root):
     """l2 > 0 exercises the decay-mask path on the packed carry."""
     packed, l1, _ = _run_epochs(data_root, "BPRMF", packed=1,

@@ -149,11 +149,18 @@ def test_exact_bucket_select_matches_direct_topk():
         for kk in [1, 7, 50]:
             bm = rng.standard_normal((9, G)).astype(np.float32)
             bm[:, G // 3] = -np.inf  # dead bucket
-            got = np.asarray(_exact_bucket_select(jnp.asarray(bm), min(kk, G)))
+            gv, got = _exact_bucket_select(jnp.asarray(bm), min(kk, G))
+            gv, got = np.asarray(gv), np.asarray(got)
             want_v, want_i = jax.lax.top_k(jnp.asarray(bm), min(kk, G))
-            got_v = np.take_along_axis(bm, got, axis=1)
-            np.testing.assert_allclose(got_v, np.asarray(want_v), rtol=0,
+            np.testing.assert_allclose(gv, np.asarray(want_v), rtol=0,
                                        err_msg=f"G={G} kk={kk}")
+            # finite slots must point at a real column holding that value;
+            # -inf slots may carry pad ids >= G (callers mask them by the
+            # returned value -- see tiled_catalog_topk)
+            finite = np.isfinite(gv)
+            assert (got[finite] < G).all()
+            vals_at = np.take_along_axis(bm, np.minimum(got, G - 1), axis=1)
+            np.testing.assert_array_equal(vals_at[finite], gv[finite])
 
 
 def test_tiled_topk_two_level_path_matches_dense():

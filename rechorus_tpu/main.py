@@ -45,6 +45,14 @@ def parse_global_args(parser):
     parser.add_argument("--train", type=int, default=1, help="To train the model or not.")
     parser.add_argument("--save_final_results", type=int, default=1, help="To save the final validation and test results or not.")
     parser.add_argument("--regenerate", type=int, default=0, help="Whether to regenerate intermediate files")
+    parser.add_argument("--dense_init", type=str, default="reference",
+                        choices=["reference", "glorot"],
+                        help="Dense-layer init scheme. 'reference' = N(0,0.01) for every "
+                             "kernel+bias (reference BaseModel.init_weights); 'glorot' = "
+                             "glorot-uniform kernels + zero bias, a documented deviation "
+                             "that rescues deep multiplicative chains (ETA/SDIM DNNs) "
+                             "from the dead-ReLU collapse the reference init causes "
+                             "under l2>0 (see ops/layers.py).")
     return parser
 
 
@@ -206,6 +214,9 @@ def main(args, model_cls, reader_cls, runner_cls):
     maybe_initialize(args)  # multi-host: must precede any other JAX call
     enable_compilation_cache(args)
     init_seed(args.random_seed)
+    from rechorus_tpu.ops.layers import set_dense_init
+
+    set_dense_init(getattr(args, "dense_init", "reference"))
     corpus, runner, model, batchers, arrays = build_stack(args, model_cls, reader_cls, runner_cls)
     state, _ = train_and_eval(args, corpus, runner, model, batchers, arrays, args.random_seed)
     logging.info(os.linesep + "-" * 45 + " END: " + utils.get_time() + " " + "-" * 45)

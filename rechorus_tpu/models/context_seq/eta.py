@@ -57,6 +57,13 @@ class ETABase:
         parser.add_argument("--long_target_field", type=str, default='["item_id"]')
         parser.add_argument("--long_sequence_field", type=str, default='["history_item_id"]')
         parser.add_argument("--recent_k", type=int, default=5, help="Short/long history threshold.")
+        parser.add_argument("--ref_retrieval", type=int, default=0,
+                            help="1 = bug-faithful reference retrieval scoring "
+                                 "(-|bucket_id diff| with FuxiCTR's -hash_bits masked "
+                                 "fill, ETA.py:259-261): masked slots outrank real "
+                                 "history for hash_bits >= 3, so retrieval degenerates. "
+                                 "Parity-ablation only; 0 = paper-correct bit-level "
+                                 "Hamming (see topk_retrieval).")
         return parser
 
     @classmethod
@@ -125,22 +132,52 @@ class ETABase:
         recency = lengths[:, None] - 1 - p
         return valid & (recency <= self.recent_k), valid & (recency > self.recent_k)
 
-    def lsh_hash(self, vecs, rotations):
-        """[.., L, d] -> [.., L, num_hashes] bucket ids (ETA.py:277-287)."""
+    def lsh_code(self, vecs, rotations):
+        """[.., L, d] -> [.., L, nh, bits] SimHash sign bits (0/1)."""
         rotated = jnp.einsum("...ld,dht->...lht", vecs, rotations)
-        code = nn.relu(jnp.sign(rotated))
+        return nn.relu(jnp.sign(rotated))
+
+    def lsh_hash(self, vecs, rotations):
+        """[.., L, d] -> [.., L, num_hashes] bucket ids (ETA.py:277-287;
+        SDIM's collision test needs bucket EQUALITY, for which ids are
+        the right representation -- ETA's top-k needs bit-level Hamming,
+        see topk_retrieval)."""
         powers = 2.0 ** jnp.arange(self.hash_bits)
-        return (code * powers).sum(-1)
+        return (self.lsh_code(vecs, rotations) * powers).sum(-1)
 
     def topk_retrieval(self, rotations, target_emb, sequence_emb, mask):
         """SimHash Hamming top-k per candidate (ETA.py:254-270).
 
         target_emb [B, C, D]; sequence_emb [B, H, D]; mask [B, H].
-        Returns (topk_emb [B, C, k, D], topk_mask [B, C, k])."""
-        seq_hash = self.lsh_hash(sequence_emb, rotations)  # [B, H, nh]
-        tgt_hash = self.lsh_hash(target_emb, rotations)  # [B, C, nh]
-        sim = -jnp.abs(tgt_hash[:, :, None, :] - seq_hash[:, None, :, :]).sum(-1)  # [B, C, H]
-        sim = jnp.where(mask[:, None, :], sim, -float(self.hash_bits))
+        Returns (topk_emb [B, C, k, D], topk_mask [B, C, k]).
+
+        DOCUMENTED FIX of a reference bug (ETA.py:259-261): the reference
+        scores similarity as -|bucket_id_t - bucket_id_s| summed over
+        hashes (range [-(2^bits-1)*nh, 0]) but keeps FuxiCTR's masked
+        fill of -hash_bits, which assumes BIT-level Hamming similarity
+        (range [-bits*nh, 0]). With bits >= 3 the fill sits ABOVE most
+        real similarities, so masked (recent/pad) slots win the top-k and
+        the retrieved list degenerates to fully-masked attention -- the
+        reference's long-history path never retrieves (verified: its
+        train on the long-range synthetic corpus memorizes but dev AUC
+        stays ~0.51, PARITY.md ctr_long). We score the SimHash the way
+        the ETA paper defines it -- per-bit Hamming agreement -- and fill
+        masked slots strictly below the minimum. `--ref_retrieval 1`
+        reproduces the reference's scoring bug-faithfully (parity
+        ablation; PARITY.md ctr_long shows it lands at the reference's
+        chance-level operating point)."""
+        if self.ref_retrieval:
+            seq_hash = self.lsh_hash(sequence_emb, rotations)  # [B, H, nh]
+            tgt_hash = self.lsh_hash(target_emb, rotations)    # [B, C, nh]
+            sim = -jnp.abs(tgt_hash[:, :, None, :] - seq_hash[:, None, :, :]).sum(-1)
+            sim = jnp.where(mask[:, None, :], sim, -float(self.hash_bits))
+        else:
+            seq_code = self.lsh_code(sequence_emb, rotations)  # [B, H, nh, bits]
+            tgt_code = self.lsh_code(target_emb, rotations)    # [B, C, nh, bits]
+            diff = tgt_code[:, :, None] != seq_code[:, None, :]  # [B, C, H, nh, bits]
+            sim = -diff.sum((-1, -2)).astype(jnp.float32)        # [B, C, H]
+            min_sim = -float(self.num_hashes * self.hash_bits)
+            sim = jnp.where(mask[:, None, :], sim, min_sim - 1.0)
         k = min(self.retrieval_k, sim.shape[-1])
         _, idx = jax.lax.top_k(sim, k)  # [B, C, k]
         topk_emb = jnp.take_along_axis(sequence_emb[:, None], idx[..., None], axis=2)
@@ -229,6 +266,7 @@ class ETACTR(ContextSeqCTRModel, ETABase):
     long_target_field: tuple = ("item_id",)
     long_sequence_field: tuple = ("history_item_id",)
     recent_k: int = 5
+    ref_retrieval: int = 0
 
     parse_model_args = staticmethod(
         lambda parser: ContextSeqCTRModel.parse_model_args(ETABase.parse_model_args_eta(parser))
@@ -268,6 +306,7 @@ class ETATopK(ContextSeqModel, ETABase):
     long_target_field: tuple = ("item_id",)
     long_sequence_field: tuple = ("history_item_id",)
     recent_k: int = 5
+    ref_retrieval: int = 0
 
     parse_model_args = staticmethod(
         lambda parser: ContextSeqModel.parse_model_args(ETABase.parse_model_args_eta(parser))

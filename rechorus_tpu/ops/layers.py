@@ -14,8 +14,36 @@ import jax.numpy as jnp
 
 NORMAL_INIT = nn.initializers.normal(stddev=0.01)
 
+# process-global Dense init scheme (--dense_init). The reference
+# initializes EVERY Linear kernel+bias at N(0, 0.01)
+# (src/models/BaseModel.py:29-35); for deep multiplicative chains
+# (ETA/SDIM attention -> DNN) that start is numerically starved and,
+# with l2>0 entering Adam's moments, sits on a knife-edge where the
+# decay races the learning signal and can zero the DNN into a dead-ReLU
+# collapse (measured: grads -> exact 0 by step ~150 on the ctr_long
+# corpus; torch falls on the same knife-edge but may land on the live
+# side depending on early bias dynamics). 'glorot' (kernel
+# glorot-uniform, bias 0) is the documented deviation that removes the
+# knife-edge; 'reference' stays bit-faithful to the reference contract.
+_DENSE_INIT = "reference"
+
+
+def set_dense_init(mode: str) -> None:
+    global _DENSE_INIT
+    if mode not in ("reference", "glorot"):
+        raise ValueError(f"--dense_init must be 'reference' or 'glorot', got {mode!r}")
+    _DENSE_INIT = mode
+
 
 def dense(features: int, use_bias: bool = True, name: Optional[str] = None) -> nn.Dense:
+    if _DENSE_INIT == "glorot":
+        return nn.Dense(
+            features,
+            use_bias=use_bias,
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=nn.initializers.zeros_init(),
+            name=name,
+        )
     return nn.Dense(
         features,
         use_bias=use_bias,

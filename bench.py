@@ -162,13 +162,17 @@ def lane_prod(timeout: float = 170):
 
 
 def lane_serve(timeout: float = 110):
+    # tiled_exact is the PRODUCT exact path (runners predict_topk routes
+    # catalogs >= MIN_ROWS_FOR_TILED through tiled_catalog_topk's fused
+    # pallas stage 1); dense_approx stays the approx headline.
+    # vs_baseline for exact = speedup over the r2 dense-exact 30.6k u/s.
     out = _run_prod(["--users", "200000", "--items", "100000",
                      "--interactions", "16384", "--train", "0",
-                     "--serve", "dense_exact,dense_approx"], timeout)
+                     "--serve", "tiled_exact,dense_approx"], timeout)
     rows = []
     key_map = [
-        ("serving_users_per_s_full_catalog_top100_dense_exact",
-         "full-catalog top-100 serve users/s (100k items, exact)",
+        ("serving_users_per_s_full_catalog_top100_tiled_exact",
+         "full-catalog top-100 serve users/s (100k items, exact, product tiled path)",
          R02_BASELINES["serve_exact_users_s"]),
         ("serving_users_per_s_full_catalog_top100_dense_approx",
          "full-catalog top-100 serve users/s (100k items, approx .98)",

@@ -112,6 +112,19 @@ class Batcher:
     def eval_feed(self, arrays, idx, cands=None):
         raise NotImplementedError
 
+    def epoch_arrays(self, arrays, key) -> Dict[str, jnp.ndarray]:
+        """Jittable once-per-epoch stage, run inside epoch_fn BEFORE the
+        step scan; returned entries are merged into `arrays` for this
+        epoch's train_feed calls. Every row of the permutation is visited
+        exactly once per epoch, so sampling negatives here is
+        distributionally identical to sampling them inside each step --
+        and matches the reference's actions_before_epoch granularity
+        (src/models/BaseModel.py:206-214) -- while batching the whole
+        epoch's rejection probes into one device program (the per-step
+        KG-membership gathers + member-table VMEM staging dominated the
+        KDA step trace; docs/PERF.md r4)."""
+        return {}
+
 
 @register_batcher("general")
 class GeneralBatcher(Batcher):
@@ -142,9 +155,12 @@ class GeneralBatcher(Batcher):
         users = arrays["user_id"][idx]
         target = arrays["target_item"][idx]
         if self.num_neg > 0:
-            neg = sampling.sample_negatives(
-                key, users, arrays["_clicked"], self.num_neg, self.corpus.n_items
-            )
+            if "_ep_neg_items" in arrays:  # epoch_arrays-hoisted lane
+                neg = arrays["_ep_neg_items"][idx]
+            else:
+                neg = sampling.sample_negatives(
+                    key, users, arrays["_clicked"], self.num_neg, self.corpus.n_items
+                )
             item_ids = jnp.concatenate([target[:, None], neg], axis=1)
         else:  # self-supervised models (BUIR/DirectAU): positives only
             item_ids = target[:, None]
@@ -869,20 +885,20 @@ class KDABatcher(SequentialBatcher):
             jnp.log2(dt / self.model.t_scalar + 1e-6), 0.0)
         return feed
 
-    def train_feed(self, arrays, idx, key):
+    def _sample_kg_block(self, arrays, kg_key, M: int):
+        """One DistMult KG row + mixed head/tail corruptions per train
+        row, vectorized over M rows (reference KDA.Dataset.
+        actions_before_epoch samples the epoch's whole block at once;
+        this is its device-side equivalent). Returns dict of [M, ...]."""
         from rechorus_tpu.ops import kg as kg_ops
-
-        key, kg_key = jax.random.split(key)
-        feed = self._common(super().train_feed(arrays, idx, key), arrays, idx)
 
         n_items = self.corpus.n_items
         n_rel, n_ent = self.corpus.n_relations, self.corpus.n_entities
         keys_arr = arrays["_triplet_keys"]
-        B = feed["user_id"].shape[0]
         N = self.model.num_neg
         k1, k2, k3, k4, k5 = jax.random.split(kg_key, 5)
 
-        tri = jax.random.randint(k1, (B,), 0, len(self.arrays["kg_head"]), dtype=jnp.int32)
+        tri = jax.random.randint(k1, (M,), 0, len(self.arrays["kg_head"]), dtype=jnp.int32)
         h = arrays["kg_head"][tri]
         t = arrays["kg_tail"][tri]
         r = arrays["kg_relation"][tri]
@@ -890,13 +906,13 @@ class KDABatcher(SequentialBatcher):
         val = jnp.where(is_attr, t, 0)
         # attr rows: tail becomes a random item SHARING the attribute
         row = jnp.clip(t - n_items, 0, arrays["_share_mat"].shape[0] - 1)
-        j = jax.random.randint(k2, (B,), 0, 1 << 30) % jnp.maximum(arrays["_share_len"][row], 1)
+        j = jax.random.randint(k2, (M,), 0, 1 << 30) % jnp.maximum(arrays["_share_len"][row], 1)
         t_item = jnp.where(is_attr, arrays["_share_mat"][row, j], t)
 
         def resample(key, bad_fn):
             return sampling.first_accepted(
                 key,
-                lambda k: jax.random.randint(k, (B, N), 1, n_items, dtype=jnp.int32),
+                lambda k: jax.random.randint(k, (M, N), 1, n_items, dtype=jnp.int32),
                 bad_fn, rounds=8)
 
         # negative heads: (h', r, tail-or-val) must not exist
@@ -910,14 +926,42 @@ class KDABatcher(SequentialBatcher):
                 is_attr[:, None],
                 kg_ops.is_member(keys_arr, c, r[:, None], val[:, None], n_rel, n_ent),
                 kg_ops.is_member(keys_arr, h[:, None], r[:, None], c, n_rel, n_ent)))
-        choose_head = jax.random.uniform(k5, (B, N)) < self.model.neg_head_p
+        choose_head = jax.random.uniform(k5, (M, N)) < self.model.neg_head_p
         neg_heads = jnp.where(choose_head, neg_head_cand, h[:, None])
         neg_tails = jnp.where(choose_head, t_item[:, None], neg_tail_cand)
 
-        feed["head_id"] = jnp.concatenate([h[:, None], neg_heads], axis=1)
-        feed["tail_id"] = jnp.concatenate([t_item[:, None], neg_tails], axis=1)
-        feed["relation_id"] = r
-        feed["value_id"] = val
+        return {
+            "head_id": jnp.concatenate([h[:, None], neg_heads], axis=1),
+            "tail_id": jnp.concatenate([t_item[:, None], neg_tails], axis=1),
+            "relation_id": r,
+            "value_id": val,
+        }
+
+    def epoch_arrays(self, arrays, key):
+        """Hoist BOTH samplers to one per-epoch program: the per-step
+        [rounds+1, B] cuckoo-membership gathers and their 8 MB
+        member-table VMEM staging were ~25% of the KDA step (docs/PERF.md
+        r4 trace); batched per epoch they run once at [rounds+1, n]."""
+        if self.phase != "train":
+            return {}
+        _, kg_key = jax.random.split(key)
+        # rec negatives stay per-step: hoisting them turns the clicked-set
+        # collision compare into one epoch-wide [rounds+1, n, M] op whose
+        # HBM traffic cannot hide behind step compute (measured +hoist
+        # regression, docs/PERF.md r4); the KG cuckoo probes are the ones
+        # whose per-step staging dominated.
+        return {"_ep_kg_" + k: v
+                for k, v in self._sample_kg_block(arrays, kg_key, self.n).items()}
+
+    def train_feed(self, arrays, idx, key):
+        key, kg_key = jax.random.split(key)
+        feed = self._common(super().train_feed(arrays, idx, key), arrays, idx)
+        if "_ep_kg_head_id" in arrays:  # epoch_arrays-hoisted lane
+            for k in ("head_id", "tail_id", "relation_id", "value_id"):
+                feed[k] = arrays["_ep_kg_" + k][idx]
+            return feed
+        # fallback (non-epoch_fn callers, e.g. the packed-lane trace probe)
+        feed.update(self._sample_kg_block(arrays, kg_key, feed["user_id"].shape[0]))
         return feed
 
     def eval_feed(self, arrays, idx, cands=None):

@@ -93,16 +93,23 @@ class KDA(SequentialModel):
     def _idft_decay(self, freq_real, freq_imag, delta_t):
         """Learnable temporal decay per relation via inverse DFT with
         conjugate symmetry (reference RelationalDynamicAggregation.
-        idft_decay, KDA.py:276-286). delta_t [B, H] -> [B, H, R]."""
+        idft_decay, KDA.py:276-286). delta_t [B, H] -> [B, H, R].
+
+        The reference materializes a [.., R, 2F] broadcast over the
+        conjugate-extended spectrum; the two halves are identical by
+        symmetry (cos(-w)x_r = cos(w)x_r and -sin(-w)(-x_i) =
+        -sin(w)x_i), so mean over 2F == mean over F of one half.
+        Computing that half as two [B*H, F] x [F, R] einsums keeps the
+        contraction on the MXU and drops the [B, H, R, 2F] intermediate
+        + concat copies the trace showed per step (docs/PERF.md r4).
+        Equivalence vs the literal transcription is pinned by
+        tests/test_weight_port.py (KDA forward parity)."""
         F = self.freq_dim
         freq = jnp.linspace(0.0, 1.0, F) / 2.0
-        freqs = jnp.concatenate([freq, -freq])  # [2F]
-        x_real = jnp.concatenate([freq_real, freq_real], axis=-1)  # [R, 2F]
-        x_imag = jnp.concatenate([freq_imag, -freq_imag], axis=-1)
-        w = 2.0 * math.pi * freqs * delta_t[..., None]  # [B, H, 2F]
-        real_part = jnp.cos(w)[:, :, None, :] * x_real[None, None, :, :]
-        imag_part = jnp.sin(w)[:, :, None, :] * x_imag[None, None, :, :]
-        return (real_part - imag_part).mean(axis=-1) / 2.0  # [B, H, R]
+        w = 2.0 * math.pi * freq * delta_t[..., None]  # [B, H, F]
+        real = jnp.einsum("bhf,rf->bhr", jnp.cos(w), freq_real)
+        imag = jnp.einsum("bhf,rf->bhr", jnp.sin(w), freq_imag)
+        return (real - imag) / (2.0 * F)  # [B, H, R]
 
     def lazy_table_specs(self) -> dict:
         # the entity table is gathered by candidates, history, the KG

@@ -133,9 +133,13 @@ def _exact_bucket_select(bm, kk: int, fan: int = 16):
 
 
 # full-width lax.top_k on the bucket-max matrix is fine below this many
-# buckets; above it the two-level select wins (measured crossover region
-# on v5e is a few thousand columns)
-MAX_DIRECT_BUCKET_TOPK = 4096
+# buckets; above it the two-level select wins. Measured (r4, B=4096,
+# k=100): at 6250 buckets direct top_k = 22 ms vs two-level = 86 ms --
+# the two-level's take_along_axis of [B, fan*k] from the bucket-max
+# matrix is a ~77 ms scalarized row-gather regardless of width, so it
+# only pays off once the direct sort clears it (~60k+ buckets; at 1M
+# items / 62592 buckets two-level measured faster in r3)
+MAX_DIRECT_BUCKET_TOPK = 16384
 
 
 def _exact_rescore(u, table, bias, raw_cand, col_offset, n_valid, n_rows):

@@ -401,6 +401,7 @@ class BaseRunner:
     # ------------------------------------------------------------------ #
     # jitted program builders (cached per phase)
     def _get_epoch_fn(self, model, batcher):
+        self._device_perm = self.mesh is None and jax.process_count() == 1
         if "train" in self._compiled:
             return self._compiled["train"]
         tx = self._tx
@@ -413,6 +414,18 @@ class BaseRunner:
         packed_box = {"paths": set()}
         step_fn = self._build_step_fn(model, batcher, tx, packed_box)
 
+        # single-process lane: derive the epoch permutation ON DEVICE from
+        # epoch_key instead of host-building + device-placing a [steps, B]
+        # index matrix every epoch -- through the tunnel-attached TPU the
+        # D2H permutation pull + H2D matrix push were a fixed tens-of-ms
+        # per-epoch tax (docs/PERF.md r4). Same key stream -> identical
+        # trajectories. Mesh/multi-host runs keep the host path (each
+        # process feeds only its addressable 'data' shard).
+        device_perm = self._device_perm
+        n_total = len(batcher)
+        B_sz = self.batch_size
+        n_full_s, n_tail_s = n_total // B_sz, n_total % B_sz
+
         # the tail batch (n % batch_size) runs at its TRUE smaller shape
         # inside the SAME jit call, after the scan over full batches -- no
         # example is seen twice per epoch (reference smaller-last-batch
@@ -423,6 +436,22 @@ class BaseRunner:
         @partial(jax.jit, donate_argnums=(0,), static_argnames=("has_tail",))
         def epoch_fn(state: TrainState, arrays, perm: jnp.ndarray, tail_idx,
                      epoch_key: jax.Array, has_tail: bool):
+            if device_perm:
+                # fit() passed the RAW epoch key + empty placeholders; the
+                # fold_in tags (1: perm, 2: steps) match the host lane's,
+                # so both lanes produce identical trajectories
+                p = jax.random.permutation(
+                    jax.random.fold_in(epoch_key, 1), n_total).astype(jnp.int32)
+                perm = p[: n_full_s * B_sz].reshape(n_full_s, B_sz)
+                tail_idx = p[n_full_s * B_sz:]
+                epoch_key = jax.random.fold_in(epoch_key, 2)
+            # once-per-epoch batcher stage (epoch-level negative sampling
+            # etc.); fold_in (not split) keeps the per-step key stream
+            # identical to the no-hook trace for batchers that return {}
+            extra = batcher.epoch_arrays(arrays, jax.random.fold_in(epoch_key, 0x5EED))
+            if extra:
+                arrays = dict(arrays)
+                arrays.update(extra)
             # sparse-grad lane: repack each lazy table + its Adam moments
             # as ONE [N, 3D] f32 carry leaf for the duration of the epoch
             # scan (one row gather + one row scatter per table per step
@@ -788,6 +817,19 @@ class BaseRunner:
         padded = np.resize(order, n_batches * batch_size)
         return padded.reshape(n_batches, batch_size).astype(np.int32)
 
+    def _eval_index_matrix(self, n: int, batch_size: int):
+        """Device-placed arange index matrix for eval scans. Deterministic
+        in (n, batch_size), so cache the placed array: dev eval runs every
+        epoch and re-shipping the same matrix through the tunnel-attached
+        TPU costs a fixed H2D RPC each time."""
+        cache = getattr(self, "_eval_idx_cache", None)
+        if cache is None:
+            cache = self._eval_idx_cache = {}
+        key = (n, batch_size)
+        if key not in cache:
+            cache[key] = self._place_index_matrix(self._batch_index_matrix(n, batch_size))
+        return cache[key]
+
     def _place_index_matrix(self, idx_mat: np.ndarray):
         """Device-place the [n_batches, B] index matrix; on a mesh, each
         step's batch axis shards over 'data' (feeds assembled from it
@@ -875,9 +917,18 @@ class BaseRunner:
     def fit(self, state: TrainState, model, batcher, arrays, epoch: int, rng_key) -> tuple:
         epoch_key = jax.random.fold_in(rng_key, epoch)
         n, B = len(batcher), self.batch_size
-        perm = np.asarray(jax.random.permutation(jax.random.fold_in(epoch_key, 1), n))
         n_full, n_tail = n // B, n % B
         epoch_fn = self._get_epoch_fn(model, batcher)
+        if self._device_perm:
+            # permutation + index matrix derived on device inside epoch_fn
+            # (no per-epoch host<->device index traffic); placeholders only
+            # satisfy the signature
+            idx_mat = jnp.zeros((0, 0), jnp.int32)
+            tail_idx = jnp.zeros((0,), jnp.int32)
+            state, loss = epoch_fn(state, arrays, idx_mat, tail_idx,
+                                   epoch_key, has_tail=bool(n_tail))
+            return state, float(loss)
+        perm = np.asarray(jax.random.permutation(jax.random.fold_in(epoch_key, 1), n))
         idx_mat = self._place_index_matrix(perm[: n_full * B].reshape(n_full, B).astype(np.int32))
         tail_idx = self._place_index_matrix(perm[n_full * B:].astype(np.int32)) if n_tail \
             else jnp.zeros((0,), jnp.int32)
@@ -887,7 +938,7 @@ class BaseRunner:
 
     def predict_ranks(self, state: TrainState, model, batcher, arrays, phase: str) -> np.ndarray:
         n = len(batcher)
-        idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
+        idx_mat = self._eval_index_matrix(n, self.eval_batch_size)
         eval_fn = self._get_eval_fn(model, batcher, phase)
         ranks = np.asarray(eval_fn(state.params, state.extra_vars, arrays, idx_mat))
         return ranks[:n]  # drop wrap-around padding
@@ -965,7 +1016,7 @@ class BaseRunner:
 
             self._compiled[cache_key] = topk_fn
         n = len(batcher)
-        idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
+        idx_mat = self._eval_index_matrix(n, self.eval_batch_size)
         items, scores = self._compiled[cache_key](state.params, state.extra_vars, arrays, idx_mat)
         return np.asarray(items)[:n], np.asarray(scores)[:n]
 

@@ -51,7 +51,7 @@ class CTRRunner(BaseRunner):
 
     def predict(self, state, model, batcher, arrays, phase: str):
         n = len(batcher)
-        idx_mat = self._place_index_matrix(self._batch_index_matrix(n, self.eval_batch_size))
+        idx_mat = self._eval_index_matrix(n, self.eval_batch_size)
         eval_fn = self._get_eval_fn(model, batcher, phase)
         preds, labels = eval_fn(state.params, state.extra_vars, arrays, idx_mat)
         return np.asarray(preds)[:n], np.asarray(labels)[:n]

@@ -105,13 +105,21 @@ class TableEmbed(nn.Embed):
         # placeholder there: gathering from a lane SLICE of the packed
         # table would make XLA materialize the [N, D] slice every step).
         rows, vals = entry[0], entry[1]
-        fb_table = entry[2] if len(entry) > 2 else table
-        from rechorus_tpu.ops.kg import searchsorted_unrolled
+        fb_table = entry[2] if len(entry) > 2 and entry[2] is not None else table
+        if len(entry) > 3:
+            # O(1) dense id->slot map (ops/lazy_adam.row_pos_map): one
+            # gather instead of the ~log2(R) sequentially dependent
+            # searchsorted levels per covered feed gather
+            pos = entry[3][inputs]
+            hit = pos < vals.shape[0]
+            pos = jnp.minimum(pos, vals.shape[0] - 1)
+        else:
+            from rechorus_tpu.ops.kg import searchsorted_unrolled
 
-        # static unroll: jnp.searchsorted is a sequential scan loop on TPU
-        pos = searchsorted_unrolled(rows, inputs)
-        pos = jnp.clip(pos, 0, rows.shape[0] - 1)
-        hit = rows[pos] == inputs
+            # static unroll: jnp.searchsorted is a sequential scan on TPU
+            pos = searchsorted_unrolled(rows, inputs)
+            pos = jnp.clip(pos, 0, rows.shape[0] - 1)
+            hit = rows[pos] == inputs
         fallback = jax.lax.stop_gradient(jnp.take(fb_table, inputs, axis=0))
         fallback = fallback[..., : vals.shape[-1]]  # packed: param lanes first
         out = jnp.where(hit[..., None], vals[pos], fallback.astype(vals.dtype))

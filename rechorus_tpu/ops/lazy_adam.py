@@ -162,6 +162,49 @@ def unique_rows(ids: jnp.ndarray, num_rows: int):
     return rows, scatter
 
 
+def unique_rows_hashed(ids: jnp.ndarray, num_rows: int):
+    """Sort-free dedup for the sparse lane: scatter each occurrence's
+    position into a dense [num_rows] map and let the LAST writer win --
+    any single winner per id is a valid slot assignment, and XLA's
+    duplicate-index .set picks exactly one. Returns
+    (rows [R], scatter_rows [R], pos_map [num_rows]):
+
+      * rows[j] = the id if position j won its id's slot, else
+        num_rows - 1 (a valid row for the vals gather; never written);
+      * scatter_rows[j] = the id on winner slots, num_rows (dropped by
+        mode='drop') elsewhere -- each touched row written exactly once;
+      * pos_map[id] = winning slot for touched ids, R (out of range for
+        vals -> fallback) for untouched ids: the TableEmbed lookup map.
+
+    Replaces the lax.sort path (unique_rows): a [8192] 1-D sort measured
+    1.2 ms/step on v5e -- the dense-map build (one 4 MB memset + one
+    scalar scatter + one gather) is ~50 us. Unlike unique_rows, `rows`
+    is NOT sorted; every consumer must use pos_map (not searchsorted).
+    Grad aggregation is unchanged: all occurrences of an id map to the
+    one winner slot, so its cotangent accumulates there and loser slots
+    receive zero cotangent and are dropped at scatter time."""
+    ids = ids.astype(jnp.int32).ravel()
+    R = ids.shape[0]
+    iota = jnp.arange(R, dtype=jnp.int32)
+    pos_map = jnp.full((num_rows,), R, jnp.int32).at[ids].set(iota)
+    win = pos_map[ids] == iota
+    rows = jnp.where(win, ids, num_rows - 1)
+    scatter = jnp.where(win, ids, num_rows)
+    return rows, scatter, pos_map
+
+
+def row_pos_map(rows_sorted, scatter_rows, num_rows: int):
+    """Dense id -> slot map for the sparse-lookup context: map[id] = its
+    slot in rows_sorted, `out_size` (out of range for vals) for untouched
+    ids. One [num_rows] broadcast + one [R] scatter per table per step
+    buys O(1) lookups -- TableEmbed's previous searchsorted_unrolled was
+    ~log2(R) SEQUENTIALLY DEPENDENT gather levels per covered feed gather
+    (PERF.md r4 target #3: ~0.5 ms/step of id machinery at 1M items)."""
+    out_size = rows_sorted.shape[0]
+    return jnp.full((num_rows,), out_size, jnp.int32).at[scatter_rows].set(
+        jnp.arange(out_size, dtype=jnp.int32), mode="drop")
+
+
 def sparse_rows_and_vals(params, rows_map):
     """For each lazy table: unique-ify the touched ids and gather their
     current values (f32 compute even for bf16 storage). Returns
@@ -169,8 +212,8 @@ def sparse_rows_and_vals(params, rows_map):
     rows_info, vals = {}, {}
     for path, ids in rows_map.items():
         p = _get(params, path)
-        rows, scatter = unique_rows(ids, p.shape[0])
-        rows_info[path] = (rows, scatter)
+        rows, scatter, pos_map = unique_rows_hashed(ids, p.shape[0])
+        rows_info[path] = (rows, scatter, pos_map)
         vals[path] = p[rows].astype(jnp.float32)
     return rows_info, vals
 
@@ -231,7 +274,7 @@ def lazy_adam_sparse_step(tx: LazyAdamTx, params, state: LazyAdamState,
 
     new_params, new_mu, new_nu = params, state.mu, state.nu
     for path in rows_info:
-        rows, scatter = rows_info[path]
+        rows, scatter = rows_info[path][:2]
         p = _get(params, path)
         m, v = _get(state.mu, path), _get(state.nu, path)
         decay = tx.l2 if (tx.l2 > 0 and (decay_mask is None or _get(decay_mask, path))) else 0.0
@@ -309,8 +352,8 @@ def packed_rows_and_vals(params, rows_map):
     rows_info, gathered, vals = {}, {}, {}
     for path, ids in rows_map.items():
         packed = _get(params, path)
-        rows, scatter = unique_rows(ids, packed.shape[0])
-        rows_info[path] = (rows, scatter)
+        rows, scatter, pos_map = unique_rows_hashed(ids, packed.shape[0])
+        rows_info[path] = (rows, scatter, pos_map)
         g = packed[rows]
         gathered[path] = g
         vals[path] = g[:, : packed.shape[1] // 3]
@@ -334,7 +377,7 @@ def lazy_adam_sparse_step_packed(tx: LazyAdamTx, params, state: LazyAdamState,
 
     new_params = params
     for path in rows_info:
-        rows, scatter = rows_info[path]
+        rows, scatter = rows_info[path][:2]
         packed = _get(params, path)
         d = packed.shape[1] // 3
         g = gathered[path]

@@ -580,7 +580,8 @@ class BaseRunner:
                 rest0, reassemble = split_params(view_params, list(rows_map))
 
                 def sparse_loss_fn(vals, rest):
-                    _L.set_sparse_lookup({p: (rows_info[p][0], vals[p], fb_tables[p])
+                    _L.set_sparse_lookup({p: (rows_info[p][0], vals[p], fb_tables[p],
+                                              rows_info[p][2])
                                           for p in rows_info})
                     try:
                         return loss_fn(reassemble(rest))
@@ -606,7 +607,8 @@ class BaseRunner:
                 rest0, reassemble = split_params(state.params, list(rows_map))
 
                 def sparse_loss_fn(vals, rest):
-                    _L.set_sparse_lookup({p: (rows_info[p][0], vals[p]) for p in rows_info})
+                    _L.set_sparse_lookup({p: (rows_info[p][0], vals[p], None,
+                                              rows_info[p][2]) for p in rows_info})
                     try:
                         return loss_fn(reassemble(rest))
                     finally:

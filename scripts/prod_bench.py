@@ -113,7 +113,8 @@ def run_train(a, users, items, idx_mat, *, lazy, sparse, packed, bf16, label="")
             rest0, reassemble = split_params(view_params, list(rows_map))
 
             def sparse_loss_fn(vals, rest):
-                L.set_sparse_lookup({p: (rows_info[p][0], vals[p], fb_tables[p])
+                L.set_sparse_lookup({p: (rows_info[p][0], vals[p], fb_tables[p],
+                                         rows_info[p][2])
                                      for p in rows_info})
                 try:
                     return loss_fn(reassemble(rest))
@@ -136,7 +137,8 @@ def run_train(a, users, items, idx_mat, *, lazy, sparse, packed, bf16, label="")
             rest0, reassemble = split_params(state.params, list(rows_map))
 
             def sparse_loss_fn(vals, rest):
-                L.set_sparse_lookup({p: (rows_info[p][0], vals[p]) for p in rows_info})
+                L.set_sparse_lookup({p: (rows_info[p][0], vals[p], None,
+                                         rows_info[p][2]) for p in rows_info})
                 try:
                     return loss_fn(reassemble(rest))
                 finally:

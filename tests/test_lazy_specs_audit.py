@@ -144,7 +144,8 @@ def test_lazy_specs_cover_and_sparse_lane_exact(data_root, name, reader, rargs, 
     rest0, reassemble = split_params(state.params, list(rows_map))
 
     def sparse_loss_fn(vals, rest):
-        L.set_sparse_lookup({p: (rows_info[p][0], vals[p]) for p in rows_info})
+        L.set_sparse_lookup({p: (rows_info[p][0], vals[p], None,
+                         rows_info[p][2]) for p in rows_info})
         try:
             return loss_fn(reassemble(rest))
         finally:
@@ -156,7 +157,7 @@ def test_lazy_specs_cover_and_sparse_lane_exact(data_root, name, reader, rargs, 
     np.testing.assert_allclose(np.asarray(sparse_loss), np.asarray(dense_loss),
                                rtol=1e-5, err_msg=f"{name}: sparse-lane forward drifts")
     for path in rows_info:
-        rows, scatter = (np.asarray(a) for a in rows_info[path])
+        rows, scatter = (np.asarray(a) for a in rows_info[path][:2])
         valid = scatter < _get(state.params, path).shape[0]
         got = np.asarray(g_vals[path])[valid]
         want = np.asarray(_get(dense_grads, path))[rows[valid]]

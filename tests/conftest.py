@@ -31,6 +31,12 @@ def pytest_configure(config):
         "markers", "parity: cross-framework torch-reference parity suites "
                    "(heavy: build torch+flax model pairs / run the reference; "
                    "selected with -m parity or -m '')")
+    config.addinivalue_line(
+        "markers", "heavy: the slowest cross-lane equivalence/mesh gates "
+                   "(>=17 s each on this 1-core box); every family keeps a "
+                   "cheaper representative in the default tier. Run with "
+                   "-m heavy (or -m '') before shipping optimizer/mesh/"
+                   "catalog-path changes.")
 
 
 # parity tier: every test in these files builds torch reference models
@@ -40,6 +46,30 @@ def pytest_configure(config):
 # everything or `-m parity` for this tier alone.
 PARITY_FILES = ("test_weight_port", "test_reader_parity", "test_optimizer_parity",
                 "test_golden_commands")
+
+# heavy tier (measured with --durations on this 1-core box, 2026-08-20):
+# the slowest cross-lane equivalence/mesh gates, ~480 s of the 913 s
+# default run. Each family keeps a default-tier representative:
+# packed lane -> [BPRMF] + test_packed_lane_on_mesh; catalog protocol ->
+# [SASRec]/[FPMC]/...; sharded input -> test_dryrun_multichip_product_path;
+# lazy-spec audit -> the 10 other models; orbax -> the flax-roundtrip.
+HEAVY_TESTS = {
+    "test_parallel.py::test_host_shard_input_lazy_builds_match_eager",      # 65 s
+    "test_parallel.py::test_sharded_input_arrays_match_replicated",         # 54 s
+    "test_parallel.py::test_sharded_tiled_branch_matches_dense",            # 20 s
+    "test_pallas_topk.py::test_sharded_pallas_matches_scan",                # 43 s
+    "test_lazy_specs_audit.py::test_lazy_specs_cover_and_sparse_lane_exact[KDA]",       # 54 s
+    "test_lazy_specs_audit.py::test_lazy_specs_cover_and_sparse_lane_exact[SLRCPlus]",  # 24 s
+    "test_catalog_eval.py::test_candidate_tiled_kda_matches_dense",         # 33 s
+    "test_catalog_eval.py::test_catalog_protocol_matches_generic_path[Caser]",    # 28 s
+    "test_catalog_eval.py::test_catalog_protocol_matches_generic_path[TiSASRec]", # 27 s
+    "test_catalog_eval.py::test_catalog_protocol_matches_generic_path[GRU4Rec]",  # 25 s
+    "test_catalog_eval.py::test_catalog_protocol_matches_generic_path[NARM]",     # 23 s
+    "test_packed_sparse.py::test_packed_lane_matches_unpacked[SASRec]",     # 26 s
+    "test_packed_sparse.py::test_packed_lane_matches_unpacked[GRU4Rec]",    # 24 s
+    "test_ckpt.py::test_orbax_mesh_restore_keeps_sharding",                 # 18 s
+    "test_lazy_adam.py::test_lazy_adam_on_mesh",                            # 17 s
+}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -51,3 +81,6 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(_pytest.mark.slow)
         if any(p in fname for p in PARITY_FILES):
             item.add_marker(_pytest.mark.parity)
+        rel = item.nodeid.split("/")[-1]
+        if rel in HEAVY_TESTS:
+            item.add_marker(_pytest.mark.heavy)

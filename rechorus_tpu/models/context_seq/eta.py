@@ -28,6 +28,27 @@ from rechorus_tpu.ops.layers import MLPBlock, MultiHeadTargetAttention
 from rechorus_tpu.registry import register_model
 
 
+_RETRIEVAL_NOTICED = set()
+
+
+def _notice_paper_retrieval(cls_name: str):
+    """One-line loud notice (ADVICE r4): the DEFAULT --ref_retrieval 0 is
+    the paper-correct bit-level Hamming retrieval, which intentionally
+    diverges from the reference implementation's bucket-id scoring bug
+    (reference ETA.py:259-261). Parity comparisons against the reference
+    must pin --ref_retrieval 1 explicitly."""
+    import logging
+
+    if cls_name not in _RETRIEVAL_NOTICED:
+        _RETRIEVAL_NOTICED.add(cls_name)
+        logging.info(
+            "%s: --ref_retrieval 0 (default) uses paper-correct bit-level "
+            "Hamming retrieval; this diverges from the reference "
+            "implementation's bucket-id scoring (its ETA.py:259-261 bug). "
+            "Pin --ref_retrieval 1 for reference-faithful parity runs.",
+            cls_name)
+
+
 def _parse_fields(s):
     v = ast.literal_eval(s)
     if not isinstance(v, list):
@@ -172,6 +193,7 @@ class ETABase:
             sim = -jnp.abs(tgt_hash[:, :, None, :] - seq_hash[:, None, :, :]).sum(-1)
             sim = jnp.where(mask[:, None, :], sim, -float(self.hash_bits))
         else:
+            _notice_paper_retrieval(type(self).__name__)
             seq_code = self.lsh_code(sequence_emb, rotations)  # [B, H, nh, bits]
             tgt_code = self.lsh_code(target_emb, rotations)    # [B, C, nh, bits]
             diff = tgt_code[:, :, None] != seq_code[:, None, :]  # [B, C, H, nh, bits]

@@ -87,17 +87,25 @@ _CUCKOO_M3 = np.uint32(0xC2B2AE3D)  # murmur3 finalizer constant 2 (odd)
 _EMPTY = np.int32(-1)               # key halves are always >= 0
 
 
-def _host_slots(hi_u32: np.ndarray, lo_u32: np.ndarray, b: int):
+def _host_slots(hi_u32: np.ndarray, lo_u32: np.ndarray, b: int, salt: int = 0):
+    """The two candidate slots are INDEPENDENT hashes of (hi, lo) -- a
+    shared 32-bit mix would make any two distinct keys with equal mix
+    collide on BOTH slots at EVERY capacity (ADVICE r4: three such keys
+    would turn build_member_table's grow loop into an unbounded hang).
+    `salt` further re-randomizes both hashes per rebuild attempt so a
+    failed eviction chain is reassigned, not replayed."""
+    s = np.uint32(np.uint64(salt) * np.uint64(0x9E3779B1) & np.uint64(0xFFFFFFFF))
     with np.errstate(over="ignore"):
-        mix = lo_u32 * _CUCKOO_M1 ^ hi_u32 * _CUCKOO_M3
-        s1 = (mix * _CUCKOO_M1) >> np.uint32(32 - b)
-        s2 = (mix * _CUCKOO_M2) >> np.uint32(32 - b)
+        mix1 = (lo_u32 ^ s) * _CUCKOO_M1 ^ hi_u32 * _CUCKOO_M3
+        mix2 = (hi_u32 ^ s) * _CUCKOO_M2 ^ lo_u32 * _CUCKOO_M3
+        s1 = (mix1 * _CUCKOO_M1) >> np.uint32(32 - b)
+        s2 = (mix2 * _CUCKOO_M2) >> np.uint32(32 - b)
     return s1.astype(np.int64), s2.astype(np.int64)
 
 
 def _try_build(table: np.ndarray, hi: np.ndarray, lo: np.ndarray, b: int,
-               max_kicks: int = 500) -> bool:
-    s1, s2 = _host_slots(hi.astype(np.uint32), lo.astype(np.uint32), b)
+               salt: int = 0, max_kicks: int = 500) -> bool:
+    s1, s2 = _host_slots(hi.astype(np.uint32), lo.astype(np.uint32), b, salt)
     # vectorized first pass: the first claimant of each s1 slot wins
     order = np.argsort(s1, kind="stable")
     first = np.ones(len(hi), bool)
@@ -115,19 +123,27 @@ def _try_build(table: np.ndarray, hi: np.ndarray, lo: np.ndarray, b: int,
             if cl == int(_EMPTY):
                 break
             kh, kl = ch, cl
-            a1, a2 = _host_slots(np.uint32(kh), np.uint32(kl), b)
+            a1, a2 = _host_slots(np.uint32(kh), np.uint32(kl), b, salt)
             slot = int(a2) if slot == int(a1) else int(a1)
         else:
             return False
     return True
 
 
+_MAX_TABLE_BITS = 30       # 2^30 slots = 8 GB host table: past any real KG
+_SALTS_PER_CAPACITY = 8    # rebuild attempts before growing the table
+
+
 def build_member_table(heads, relations, tails, n_relations: int,
                        n_entities: int) -> np.ndarray:
-    """Host-side build of the cuckoo membership table -> int32 [cap, 2]
+    """Host-side build of the cuckoo membership table -> int32
+    [1 + cap, 2]: row 0 is a HEADER (salt, 0) and rows 1..cap the slots
     (cap a power of two, load factor <= 0.5, empty slots = (-1, -1)).
-    Grows and rebuilds on the (rare) insertion failure, so lookups never
-    need more than the two canonical slots."""
+    On insertion failure the build first retries with a fresh salt
+    (re-randomizing BOTH slot hashes, so eviction chains are reassigned
+    rather than replayed), then grows; capacity is capped so a
+    pathological key set errors out instead of looping forever
+    (ADVICE r4)."""
     h = np.asarray(heads, dtype=np.int64)
     r = np.asarray(relations, dtype=np.int64)
     t = np.asarray(tails, dtype=np.int64)
@@ -137,24 +153,40 @@ def build_member_table(heads, relations, tails, n_relations: int,
     hi, lo = uniq[:, 0].astype(np.int32), uniq[:, 1].astype(np.int32)
     n = max(1, len(hi))
     b = max(4, int(np.ceil(np.log2(n * 2))))
-    while True:
-        table = np.full((1 << b, 2), _EMPTY, np.int32)
-        if _try_build(table, hi, lo, b):
-            return table
+    while b <= _MAX_TABLE_BITS:
+        for salt in range(_SALTS_PER_CAPACITY):
+            table = np.full((1 + (1 << b), 2), _EMPTY, np.int32)
+            table[0] = (salt, 0)
+            if _try_build(table[1:], hi, lo, b, salt):
+                return table
         b += 1
+    raise RuntimeError(
+        f"cuckoo member table failed to build for {n} keys even at "
+        f"2^{_MAX_TABLE_BITS} slots x {_SALTS_PER_CAPACITY} salts -- "
+        "degenerate key set?")
 
 
 def member_probe(table: jnp.ndarray, hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     """Membership of (hi, lo) key halves (any broadcast shape, int32 >= 0)
     in the cuckoo table: two data-parallel gathers, no sequential
-    dependence."""
-    b = int(np.log2(table.shape[0]))
-    mix = lo.astype(jnp.uint32) * jnp.uint32(_CUCKOO_M1) \
-        ^ hi.astype(jnp.uint32) * jnp.uint32(_CUCKOO_M3)
-    s1 = ((mix * jnp.uint32(_CUCKOO_M1)) >> jnp.uint32(32 - b)).astype(jnp.int32)
-    s2 = ((mix * jnp.uint32(_CUCKOO_M2)) >> jnp.uint32(32 - b)).astype(jnp.int32)
-    hit1 = (table[s1, 0] == hi) & (table[s1, 1] == lo)
-    hit2 = (table[s2, 0] == hi) & (table[s2, 1] == lo)
+    dependence. `table` is the [1 + 2^b, 2] header+slots layout from
+    build_member_table; the build salt is read from the header row (a
+    traced scalar -- stays on device)."""
+    cap = table.shape[0] - 1
+    b = int(np.log2(cap))
+    if (1 << b) != cap:
+        raise ValueError(
+            f"member table has {table.shape[0]} rows; expected 1 header + "
+            "2^b slots -- stale corpus cache? rerun with --regenerate 1")
+    s = table[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    hi_u = hi.astype(jnp.uint32)
+    lo_u = lo.astype(jnp.uint32)
+    mix1 = (lo_u ^ s) * jnp.uint32(_CUCKOO_M1) ^ hi_u * jnp.uint32(_CUCKOO_M3)
+    mix2 = (hi_u ^ s) * jnp.uint32(_CUCKOO_M2) ^ lo_u * jnp.uint32(_CUCKOO_M3)
+    s1 = ((mix1 * jnp.uint32(_CUCKOO_M1)) >> jnp.uint32(32 - b)).astype(jnp.int32)
+    s2 = ((mix2 * jnp.uint32(_CUCKOO_M2)) >> jnp.uint32(32 - b)).astype(jnp.int32)
+    hit1 = (table[1 + s1, 0] == hi) & (table[1 + s1, 1] == lo)
+    hit2 = (table[1 + s2, 0] == hi) & (table[1 + s2, 1] == lo)
     return hit1 | hit2
 
 

@@ -35,7 +35,7 @@ class CTRRunner(BaseRunner):
 
         def pred_step(arrays, variables, idx):
             feed = batcher.eval_feed(arrays, idx)
-            out = model.apply(variables, feed, training=False)
+            out = self._apply_eval(model, variables, feed)
             return variables, (out["prediction"].reshape(-1), feed["label"].reshape(-1))
 
         @jax.jit

@@ -29,7 +29,7 @@ class ImpressionRunner(BaseRunner):
 
         def pred_step(arrays, variables, idx):
             feed = batcher.eval_feed(arrays, idx)
-            out = model.apply(variables, feed, training=False)
+            out = self._apply_eval(model, variables, feed)
             pred = out["prediction"]
             valid = feed["target"] != -1
             pred = jnp.where(valid, pred, -jnp.inf)

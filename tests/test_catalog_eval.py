@@ -171,6 +171,63 @@ def test_candidate_tiled_forward_matches_dense(corpus):
     np.testing.assert_array_equal(ranks_dense, ranks_tiled)
 
 
+def test_candidate_tiled_topk_matches_dense(corpus):
+    """ADVICE r4 medium: predict_topk (the --save_final_results export)
+    must ALSO stream the candidate axis for tiled-forward configs -- it
+    used to build the dense [B, N] eval feed and OOM after training
+    succeeded. Equivalence vs the dense generic path, odd chunk for the
+    overhang."""
+    args = make_args()
+    model, runner, batchers, arrays, state = _setup(corpus, "SASRec", args)
+
+    model_cls = type(model)
+    orig = model_cls.supports_catalog
+    try:
+        model_cls.supports_catalog = False
+        runner._compiled.pop(("test", "topk", 10), None)
+        items_d, scores_d = runner.predict_topk(
+            state, model, batchers["test"], arrays["test"], "test", k=10)
+
+        runner.eval_candidate_chunk = 367
+        runner.__dict__["_use_tiled_forward"] = lambda m, b: True
+        runner._compiled.pop(("test", "topk", 10), None)
+        items_t, scores_t = runner.predict_topk(
+            state, model, batchers["test"], arrays["test"], "test", k=10)
+    finally:
+        model_cls.supports_catalog = orig
+
+    np.testing.assert_allclose(scores_d, scores_t, rtol=2e-5, atol=1e-5)
+    diff = items_d != items_t
+    if diff.any():  # ties only
+        np.testing.assert_allclose(scores_d[diff], scores_t[diff], rtol=2e-5, atol=1e-5)
+    # export contract: no pad item, no clicked items
+    assert not (items_t == 0).any()
+
+
+def test_dense_feed_bytes_routing(corpus, monkeypatch):
+    """VERDICT r4 weak 5: the tiled-forward guard must account for
+    per-candidate feed bytes, not just catalog width. A KDA-like feed
+    ([B, N, H, R] intervals) at modest N routes tiled once its dense
+    bytes pass the cap; a light feed at the same N stays dense."""
+    args = make_args()
+    model_cls = registry.get_model("SASRec")
+    monkeypatch.setattr(model_cls, "supports_catalog", False)
+    model = model_cls.from_args(args, corpus)
+    runner = registry.get_runner(model_cls.runner)(args)
+    b = get_batcher(model_cls.batcher)(corpus, model, "test", args)
+    # 1501 items, chunk 512: 2-3 chunks wide -- width rule alone says dense
+    runner.eval_candidate_chunk = 512
+    assert not runner._use_tiled_forward(model, b)  # light feed
+    est = runner._dense_feed_bytes(b)
+    assert est > 0
+    # force the cap below this corpus' dense estimate -> routes tiled
+    runner.MAX_DENSE_FEED_BYTES = max(1, est - 1)
+    assert runner._use_tiled_forward(model, b)
+    # single-chunk catalogs always stay dense (the chunk IS the feed)
+    runner.eval_candidate_chunk = 8192
+    assert not runner._use_tiled_forward(model, b)
+
+
 @pytest.fixture(scope="module")
 def kda_corpus(tmp_path_factory):
     from rechorus_tpu.data.synthetic import make_kg_dataset

@@ -69,6 +69,38 @@ def test_pop_scores(corpus):
     assert 0.0 <= res["HR@5"] <= 1.0
 
 
+def test_model_inference_hook(corpus):
+    """Reference extension-hook parity (BaseRunner.py:237): when a model
+    defines `inference`, eval prefers it over the forward. A score-negating
+    inference must exactly invert the ground-truth ranks."""
+    from rechorus_tpu.models.general.bprmf import BPRMF
+
+    class NegatedBPRMF(BPRMF):
+        def inference(self, feed, training=False):
+            out = self(feed, training=training)
+            return {"prediction": -out["prediction"]}
+
+    args = make_args(epoch=1)
+    model = BPRMF.from_args(args, corpus)
+    runner = registry.get_runner(BPRMF.runner)(args)
+    batchers = {p: get_batcher(BPRMF.batcher)(corpus, model, p, args)
+                for p in ["train", "test"]}
+    arrays = {p: b.device_arrays() for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], 0)
+    ranks = runner.predict_ranks(state, model, batchers["test"], arrays["test"], "test")
+
+    neg_model = NegatedBPRMF.from_args(args, corpus)  # same params tree
+    runner2 = registry.get_runner(BPRMF.runner)(args)
+    ranks_neg = runner2.predict_ranks(state, neg_model, batchers["test"], arrays["test"], "test")
+    # C candidates per row: negating scores maps rank r -> C + 1 - r
+    # (ties measure-zero on random float inits)
+    C = 1 + batchers["test"].arrays["neg_items"].shape[1] \
+        if "neg_items" in batchers["test"].arrays else None
+    if C is None:
+        C = int(ranks.max())
+    np.testing.assert_array_equal(ranks + ranks_neg, np.full_like(ranks, C + 1))
+
+
 def test_negative_sampling_avoids_clicked(corpus):
     import jax
     import jax.numpy as jnp

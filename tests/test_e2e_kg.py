@@ -122,7 +122,8 @@ def test_member_table_exact_membership():
         t = rng.integers(0, E, size=n).astype(np.int64)
         h[0], r[0], t[0] = 0, 0, 0  # all-zero triplet vs the empty sentinel
         table = kg_ops.build_member_table(h, r, t, R, E)
-        assert (table.shape[0] & (table.shape[0] - 1)) == 0
+        cap = table.shape[0] - 1  # row 0 = (salt, 0) header
+        assert (cap & (cap - 1)) == 0
         in_set = set(zip(h.tolist(), r.tolist(), t.tolist()))
         m = min(n, 500)
         qh = np.concatenate([h[:m], rng.integers(0, E, size=500)])
@@ -135,6 +136,44 @@ def test_member_table_exact_membership():
         expect = np.array([(int(a), int(b), int(c)) in in_set
                            for a, b, c in zip(qh, qr, qt)])
         np.testing.assert_array_equal(got, expect, err_msg=f"n={n}")
+
+
+def test_member_table_single_mix_collisions_build():
+    """ADVICE r4: keys engineered to share the OLD single 32-bit mix
+    (lo*M1 ^ hi*M3 all equal) used to collide on BOTH cuckoo slots at
+    every capacity -- 3+ of them made the grow loop hang forever. With
+    independent per-slot hashes + per-rebuild salt they must build and
+    probe exactly."""
+    import jax.numpy as jnp
+
+    from rechorus_tpu.ops import kg as kg_ops
+
+    M1, M3 = 0x9E3779B1, 0xC2B2AE3D
+    M1_inv = pow(M1, -1, 1 << 32)
+    target_mix = 0x12345678
+    his, los = [], []
+    for hi in range(1, 33):  # 32 keys all sharing lo*M1 ^ hi*M3
+        lo = ((target_mix ^ (hi * M3 & 0xFFFFFFFF)) * M1_inv) & 0xFFFFFFFF
+        if lo < (1 << 31) - 1:  # keep int32-representable halves
+            his.append(hi)
+            los.append(lo)
+    assert len(his) >= 3
+    for h, l in zip(his, los):
+        assert ((l * M1) ^ (h * M3)) & 0xFFFFFFFF == target_mix
+    # feed the halves straight through the (h, r, t) packing: r=0 makes
+    # lo = t, hi = h
+    E = (1 << 31) - 1
+    table = kg_ops.build_member_table(
+        np.array(his, np.int64), np.zeros(len(his), np.int64),
+        np.array(los, np.int64), 1, E)
+    got = np.asarray(kg_ops.member_probe(
+        jnp.asarray(table), jnp.asarray(his, dtype=jnp.int32),
+        jnp.asarray(los, dtype=jnp.int32)))
+    assert got.all()
+    miss = np.asarray(kg_ops.member_probe(
+        jnp.asarray(table), jnp.asarray([h + 40 for h in his], dtype=jnp.int32),
+        jnp.asarray(los, dtype=jnp.int32)))
+    assert not miss.any()
 
 
 def test_member_table_matches_triplet_set(corpus):

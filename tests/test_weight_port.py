@@ -1803,7 +1803,13 @@ def test_eta_forward_parity(ctr_corpus):
                               long_sequence_field='["history_item_id"]',
                               recent_k=3, add_historical_situations=0,
                               history_max=H, loss_n="BPR", dropout=0.0,
-                              test_all=0, num_neg=1, model_path="", buffer=1)
+                              test_all=0, num_neg=1, model_path="", buffer=1,
+                              # parity runs pin the reference-faithful
+                              # retrieval explicitly (ADVICE r4); with
+                              # retrieval_k == H the retrieved SET is
+                              # identical either way, but the pin keeps
+                              # this suite comparing like-for-like
+                              ref_retrieval=1)
     model = get_model("ETATopK").from_args(args, corpus)
 
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}

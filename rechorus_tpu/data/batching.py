@@ -450,6 +450,18 @@ class ImpressionBatcher(Batcher):
 
     Parity: reference ImpressionModel.Dataset (BaseImpressionModel.py:
     154-211) + ImpressionRunner.fit label construction (187-190).
+
+    --test_all eval (VERDICT r4 item 2): the negative block becomes the
+    FULL catalog (item_id = [pos_pad | 0..n_items-1]; catalog column j is
+    item j), with the user's positively-clicked items (all splits),
+    id 0, and pad positives masked via target = -1 -- the runner turns
+    those to -inf before the listwise metrics, and neg_num becomes the
+    per-row count of valid catalog candidates. This implements the
+    masking the reference INTENDS at ImpressionRunner.py:141-149; the
+    reference path itself is non-functional (its evaluate_method
+    returns {} for test_all, :82-83, and the clicked mask indexes
+    columns by raw item id into a [B, P+N] matrix). Width P + n_items
+    per eval row: sized for research catalogs, not 1M-item serving.
     """
 
     def _source_df(self):
@@ -459,6 +471,7 @@ class ImpressionBatcher(Batcher):
         df = self._source_df()
         self._df = df
         self.n = len(df)
+        self.test_all = bool(getattr(self.model, "test_all", 0)) and self.phase != "train"
         if self.phase == "train":
             self.pos_len = self.model.train_max_pos_item
             self.neg_len = self.model.train_max_neg_item
@@ -476,25 +489,49 @@ class ImpressionBatcher(Batcher):
 
         self.arrays["user_id"] = df["user_id"].to_numpy().astype(np.int32)
         self.arrays["pos_items"] = pad_lists("pos_items", self.pos_len)
-        self.arrays["neg_items"] = pad_lists("neg_items", self.neg_len)
         self.arrays["pos_num"] = np.minimum(df["pos_num"].to_numpy(), self.pos_len).astype(np.int32)
-        self.arrays["neg_num"] = np.minimum(df["neg_num"].to_numpy(), self.neg_len).astype(np.int32)
+        if self.test_all:
+            self.neg_len = self.corpus.n_items
+            clicked = self.corpus.pos_clicked_matrix()
+            self.arrays["_clicked_rows"] = clicked
+            # valid catalog candidates = n_items - 1 (id 0) - #clicked
+            # ids (unique per user; each masks one catalog column)
+            cnt = (clicked > 0).sum(axis=1).astype(np.int64)
+            self.arrays["neg_num"] = (
+                self.corpus.n_items - 1 - cnt[self.arrays["user_id"]]
+            ).astype(np.int32)
+        else:
+            self.arrays["neg_items"] = pad_lists("neg_items", self.neg_len)
+            self.arrays["neg_num"] = np.minimum(df["neg_num"].to_numpy(), self.neg_len).astype(np.int32)
 
     def _feed(self, arrays, idx):
         users = arrays["user_id"][idx]
         pos = arrays["pos_items"][idx]
-        neg = arrays["neg_items"][idx]
         pos_num = arrays["pos_num"][idx]
         neg_num = arrays["neg_num"][idx]
-        item_ids = jnp.concatenate([pos, neg], axis=1)
         pos_valid = jnp.arange(self.pos_len)[None, :] < pos_num[:, None]
-        neg_valid = jnp.arange(self.neg_len)[None, :] < neg_num[:, None]
-        target = jnp.concatenate(
-            [jnp.where(pos_valid, 1.0, -1.0), jnp.where(neg_valid, 0.0, -1.0)], axis=1
-        )
+        B = users.shape[0]
+        if self.test_all:
+            N = self.corpus.n_items
+            catalog = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+            item_ids = jnp.concatenate([pos, catalog], axis=1)
+            clicked = arrays["_clicked_rows"][users]            # [B, M]
+            cl = jnp.zeros((B, N), bool).at[
+                jnp.arange(B)[:, None], clicked.astype(jnp.int32)].set(True)
+            cat_valid = (jnp.arange(N)[None, :] > 0) & ~cl
+            target = jnp.concatenate(
+                [jnp.where(pos_valid, 1.0, -1.0), jnp.where(cat_valid, 0.0, -1.0)], axis=1
+            )
+        else:
+            neg = arrays["neg_items"][idx]
+            item_ids = jnp.concatenate([pos, neg], axis=1)
+            neg_valid = jnp.arange(self.neg_len)[None, :] < neg_num[:, None]
+            target = jnp.concatenate(
+                [jnp.where(pos_valid, 1.0, -1.0), jnp.where(neg_valid, 0.0, -1.0)], axis=1
+            )
         return {
             "user_id": users, "item_id": item_ids, "target": target,
-            "pos_num": pos_num, "neg_num": neg_num, "batch_size": users.shape[0],
+            "pos_num": pos_num, "neg_num": neg_num, "batch_size": B,
         }
 
     def train_feed(self, arrays, idx, key):
@@ -543,6 +580,13 @@ class RerankBatcher(ImpressionBatcher):
     BaseRerankerModel.py:70-84)."""
 
     def build(self):
+        if getattr(self.model, "test_all", 0):
+            # hard error, not silent: rerankers score a LOGGED candidate
+            # list (ordinal position embeddings sized by the caps); a
+            # full-catalog candidate axis has no defined semantics here
+            # (the reference crashes on it too)
+            raise ValueError("--test_all is not defined for re-ranking "
+                             "models; drop the flag")
         super().build()
         from rechorus_tpu.models.reranker._loader import load_ranker
 

@@ -557,6 +557,23 @@ class ImpressionReader(BaseReader):
         )
 
 
+    def pos_clicked_matrix(self) -> np.ndarray:
+        """Padded per-user matrix of POSITIVELY-clicked item ids across
+        all splits [n_users, max_clicked] int32, pad 0 -- the impression
+        analog of clicked_matrix for --test_all eval masking. The
+        reference masks `corpus.user_his` (positives across all time,
+        ImpressionRunner.py:141-149); label-0 impression rows are mere
+        exposures and must NOT be excluded from the candidate catalog."""
+        from rechorus_tpu.data.csr import csr_fill_matrix, pairs_to_csr
+
+        pos = self.all_df[self.all_df["label"] != 0]
+        flat, offsets = pairs_to_csr(pos["user_id"].to_numpy(),
+                                     pos["item_id"].to_numpy(),
+                                     self.n_users, unique=True)
+        max_len = max(1, int(np.diff(offsets).max()))
+        return csr_fill_matrix(flat.astype(np.int32), offsets, max_len)
+
+
 class ImpressionSeqReader(ImpressionReader):
     """Impression + sequential: dual per-user pos/neg histories with
     per-request position/neg_position (src/helpers/ImpressionSeqReader.py).

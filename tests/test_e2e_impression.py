@@ -65,6 +65,89 @@ def test_impression_models_learn(data_root, name, extra):
     assert "MAP@5" in res and "HR@5" in res
 
 
+def test_impression_test_all_matches_oracle(data_root):
+    """--test_all on an impression model (VERDICT r4 item 2): candidates
+    become [pos | full catalog], with id 0 + the user's positively-clicked
+    items (all splits) masked -- the masking the reference INTENDS at
+    ImpressionRunner.py:141-149 (its own path is non-functional: the
+    test_all branch of evaluate_method returns {} and the clicked mask
+    indexes columns by raw item id). Oracle: hand-built masked prediction
+    matrix from the same trained params + the parity-tested listwise
+    metric kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from rechorus_tpu.ops import metrics as metrics_ops
+
+    args = make_args(test_all=1, epoch=1, eval_batch_size=32)
+    args.path = data_root
+    model_cls = registry.get_model("BPRMFImpression")
+    reader = registry.get_reader(model_cls.reader)(args)
+    model = model_cls.from_args(args, reader)
+    runner = registry.get_runner(model_cls.runner)(args)
+    batchers = {p: get_batcher(model_cls.batcher)(reader, model, p, args)
+                for p in ["train", "test"]}
+    arrays = {p: b.device_arrays() for p, b in batchers.items()}
+    state = runner.init_state(model, batchers["train"], 0)
+    state, _ = runner.fit(state, model, batchers["train"], arrays["train"], 1,
+                          jax.random.key(0))
+    topks, mets = [2, 5], ["NDCG", "HR", "MAP"]
+    got = runner.evaluate(state, model, batchers["test"], arrays["test"],
+                          "test", topks, mets)
+
+    # ---- oracle ----
+    N = reader.n_items
+    P = batchers["test"].pos_len
+    df = reader.data_df["test"]
+    pos_df = reader.all_df[reader.all_df["label"] != 0]
+    clicked = {u: set(g["item_id"]) - {0}
+               for u, g in pos_df.groupby("user_id")}
+    n = len(df)
+    item_id = np.zeros((n, P + N), np.int32)
+    item_id[:, P:] = np.arange(N)
+    pos_num = np.zeros(n, np.int32)
+    mask = np.zeros((n, P + N), bool)  # True = valid candidate
+    neg_num = np.zeros(n, np.int32)
+    for r in range(n):
+        u = int(df["user_id"].iloc[r])
+        pos = list(df["pos_items"].iloc[r])[:P]
+        item_id[r, : len(pos)] = pos
+        pos_num[r] = len(pos)
+        mask[r, : len(pos)] = True
+        cat_ok = np.ones(N, bool)
+        cat_ok[0] = False
+        cat_ok[np.array(sorted(clicked.get(u, set())), np.int64)] = False
+        mask[r, P:] = cat_ok
+        neg_num[r] = int(cat_ok.sum())
+    variables = {"params": state.params, **state.extra_vars}
+    feed = {"user_id": jnp.asarray(df["user_id"].to_numpy(np.int32)),
+            "item_id": jnp.asarray(item_id), "batch_size": n}
+    pred = np.asarray(model.apply(variables, feed, training=False)["prediction"])
+    pred = np.where(mask, pred, -np.inf)
+    want = metrics_ops.evaluate_impression(pred, topks, mets, pos_num, neg_num, P)
+
+    # neg_num accounting must match the batcher's
+    np.testing.assert_array_equal(
+        neg_num, np.asarray(batchers["test"].arrays["neg_num"]))
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, rtol=1e-6, atol=1e-8, err_msg=k)
+    assert 0.0 < got["NDCG@5"] < 1.0
+
+
+def test_rerank_test_all_hard_error(data_root):
+    """--test_all on a reranker must be a loud error, not silently
+    different numbers (VERDICT r4 item 2 alternative for this family)."""
+    args = make_args(test_all=1, ranker_name="BPRMF", ranker_config_file="",
+                     ranker_model_file="", tuneranker=0, emb_size=16,
+                     n_blocks=1, num_heads=2, num_hidden_unit=16)
+    args.path = data_root
+    model_cls = registry.get_model("PRMGeneral")
+    reader = registry.get_reader(model_cls.reader)(args)
+    model = model_cls.from_args(args, reader)
+    with pytest.raises(ValueError, match="test_all"):
+        get_batcher(model_cls.batcher)(reader, model, "test", args)
+
+
 def test_impression_reader_grouping(data_root):
     args = make_args()
     args.path = data_root

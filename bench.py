@@ -1,6 +1,10 @@
 """Multi-lane driver benchmark (VERDICT r2 item 4; rebudgeted r4 item 1).
 
-Prints ONE JSON line PER LANE: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line PER LANE: {"metric", "value", "unit", "vs_baseline"}
+plus, for the sub-second Grocery lanes, "spread": [min, max] over 5
+individually-timed epochs with "value" = the median (VERDICT r4 item 3:
+single-shot numbers cannot be compared across rounds through the
+tunnel's ~2x ambient variance).
 Lane order is VALUE-FIRST — the flagship BPRMF lane runs first so it is
 captured even if the driver window closes early — and the flagship row is
 RE-EMITTED as the final line so single-line consumers (the driver's
@@ -89,6 +93,11 @@ def _build_args(model_name: str, flags: list):
 
 
 def lane_grocery_epoch(lane: str):
+    """Median-of-N epoch timing (VERDICT r4 item 3): the tunnel's ~2x
+    ambient spread makes single-shot lanes incomparable across rounds;
+    each epoch is timed individually (materializing the dependent loss
+    scalar = the sync point) and the row reports the median plus the
+    [min, max] spread."""
     import jax
     import numpy as np
 
@@ -108,17 +117,18 @@ def lane_grocery_epoch(lane: str):
 
     state, _ = runner.fit(state, model, batcher, arrays, 0, rng)  # compile
     jax.block_until_ready(state.params)
-    n_epochs = 3
-    t0 = time.perf_counter()
-    acc = 0.0
-    for e in range(1, n_epochs + 1):
+    times = []
+    for e in range(1, 6):  # 5 timed epochs = 5 independent reps
+        t0 = time.perf_counter()
         state, loss = runner.fit(state, model, batcher, arrays, e, rng)
-        acc += float(np.asarray(loss))  # dependent scalar: defeats async under-report
-    dt = (time.perf_counter() - t0) / n_epochs
+        float(np.asarray(loss))  # dependent scalar: defeats async under-report
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     return [{
         "metric": f"{model_name} Grocery s/train-epoch (batch 256, 92.5k ex)",
         "value": round(dt, 4), "unit": "s",
         "vs_baseline": round(ref_s / dt, 2),
+        "spread": [round(min(times), 4), round(max(times), 4)],
     }]
 
 
@@ -207,13 +217,17 @@ def lane_testall():
     tb = get_batcher(model_cls.batcher)(corpus, model, "train", args)
     state = runner.init_state(model, tb, 0)
     runner.evaluate(state, model, batcher, arrays, "dev", [5], ["NDCG", "HR"])  # compile
-    t0 = time.perf_counter()
-    res = runner.evaluate(state, model, batcher, arrays, "dev", [5], ["NDCG", "HR"])
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = runner.evaluate(state, model, batcher, arrays, "dev", [5], ["NDCG", "HR"])
+        times.append(time.perf_counter() - t0)
     assert np.isfinite(res["NDCG@5"])
+    dt = float(np.median(times))
     return [{"metric": "Grocery test_all dev eval s (full 8.7k catalog, 14.7k users)",
              "value": round(dt, 4), "unit": "s",
-             "vs_baseline": round(R02_BASELINES["testall_s"] / dt, 2)}]
+             "vs_baseline": round(R02_BASELINES["testall_s"] / dt, 2),
+             "spread": [round(min(times), 4), round(max(times), 4)]}]
 
 
 LANES = {  # value-first order; flagship bprmf FIRST (re-emitted last)

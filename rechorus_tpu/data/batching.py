@@ -595,9 +595,42 @@ class RerankBatcher(ImpressionBatcher):
             return ImpressionBatcher._feed(self, arrays, jnp.arange(2))
 
         self.ranker, self.ranker_variables = load_ranker(self.args, self.corpus, example_feed)
+        self.tuneranker = bool(getattr(self.model, "tuneranker", 0))
+
+    def post_init_state(self, state):
+        """--tuneranker: swap the reranker init's randomly-initialized
+        `ranker_module` subtree for the loaded ranker checkpoint (the
+        reference un-freezes the loaded params in place,
+        BaseRerankerModel.py:58-66). Called by BaseRunner.init_state."""
+        if not self.tuneranker:
+            return state
+        import jax as _jax
+
+        loaded = self.ranker_variables
+        params = dict(state.params)
+        if _jax.tree_util.tree_structure(params.get("ranker_module")) != \
+                _jax.tree_util.tree_structure(loaded["params"]):
+            raise ValueError(
+                "--tuneranker: loaded ranker params do not match the "
+                "ranker_module subtree (config drift between the ranker "
+                "checkpoint and --ranker_config_file?)")
+        params["ranker_module"] = loaded["params"]
+        extra = dict(state.extra_vars)
+        for col, sub in loaded.items():
+            if col == "params":
+                continue
+            col_tree = dict(extra.get(col, {}))
+            col_tree["ranker_module"] = sub
+            extra[col] = col_tree
+        return state.replace(params=params, extra_vars=extra)
 
     def _feed(self, arrays, idx):
         feed = super()._feed(arrays, idx)
+        if self.tuneranker:
+            # the MODEL runs the ranker as a trainable submodule
+            # (RerankModel.rerank_feed); precomputing frozen outputs here
+            # would mask its gradients
+            return feed
         out = self.ranker.apply(self.ranker_variables, feed, training=False)
         valid = feed["target"] != -1
         scores = jnp.where(valid, out["prediction"], -jnp.inf)
@@ -614,6 +647,9 @@ class RerankBatcher(ImpressionBatcher):
 @register_batcher("rerank_seq")
 class RerankSeqBatcher(ImpressionSeqBatcher):
     def build(self):
+        if getattr(self.model, "test_all", 0):
+            raise ValueError("--test_all is not defined for re-ranking "
+                             "models; drop the flag")
         super().build()
         from rechorus_tpu.models.reranker._loader import load_ranker
 
@@ -622,9 +658,14 @@ class RerankSeqBatcher(ImpressionSeqBatcher):
             return ImpressionSeqBatcher._feed(self, arrays, jnp.arange(2))
 
         self.ranker, self.ranker_variables = load_ranker(self.args, self.corpus, example_feed)
+        self.tuneranker = bool(getattr(self.model, "tuneranker", 0))
+
+    post_init_state = RerankBatcher.post_init_state
 
     def _feed(self, arrays, idx):
         feed = super()._feed(arrays, idx)
+        if self.tuneranker:
+            return feed  # see RerankBatcher._feed
         out = self.ranker.apply(self.ranker_variables, feed, training=False)
         valid = feed["target"] != -1
         scores = jnp.where(valid, out["prediction"], -jnp.inf)

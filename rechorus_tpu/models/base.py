@@ -572,26 +572,38 @@ class ImpressionSeqModel(ImpressionModel):
 
 
 class RerankModel(ImpressionModel):
-    """Listwise re-ranker over a FROZEN pre-trained base ranker.
+    """Listwise re-ranker over a pre-trained base ranker.
 
     Parity: reference src/models/BaseRerankerModel.py:15-84. The ranker
     forward runs as the first stage of the jitted step (see
     models/reranker/_loader.py); feeds gain 'scores' (pads -inf),
     'position' (rank order of ranker scores), 'padding_mask', 'u_v',
-    'i_v'. --tuneranker is not supported yet (ranker params are frozen
-    device constants).
+    'i_v'.
+
+    --tuneranker 0 (default): the ranker's params are frozen device
+    constants closed over by the batcher -- XLA folds the two stages into
+    one program with zero optimizer state for the ranker.
+    --tuneranker 1 (reference BaseRerankerModel.py:58-66): the ranker is
+    a TRAINABLE SUBMODULE (`ranker_module`); its loaded checkpoint params
+    are injected into the reranker's param tree after init
+    (RerankBatcher.post_init_state) and receive joint gradient updates.
+    The ranker stage then runs inside the model forward (rerank_feed) so
+    grads flow through scores/u_v/i_v (+his_v); 'position' is an argsort
+    rank -- discrete, no gradient, same as the reference.
     """
 
     reader: ClassVar[str] = "ImpressionReader"
     runner: ClassVar[str] = "ImpressionRunner"
     batcher: ClassVar[str] = "rerank"
     extra_log_args: ClassVar[list] = ["tuneranker"]
+    _needs_his_v: ClassVar[bool] = False
 
     ranker_name: str = "BPRMF"
     ranker_config_file: str = ""
     ranker_model_file: str = ""
     tuneranker: int = 0
     ranker_emb_size: int = 64
+    ranker_module: Any = None
 
     @staticmethod
     def parse_model_args(parser):
@@ -599,16 +611,46 @@ class RerankModel(ImpressionModel):
         parser.add_argument("--ranker_config_file", type=str, default="", help="Base ranker config file (yaml)")
         parser.add_argument("--ranker_model_file", type=str, default="", help="Base ranker model file")
         parser.add_argument("--tuneranker", type=int, default=0,
-                            help="Kept for CLI parity; tuning the ranker jointly is not supported yet.")
+                            help="Fine-tune the loaded ranker jointly with the "
+                                 "re-ranker (its params join the trainable tree).")
         return ImpressionModel.parse_model_args(parser)
 
     @classmethod
     def corpus_kwargs(cls, args, corpus):
-        from rechorus_tpu.models.reranker._loader import ranker_emb_size
+        from rechorus_tpu.models.reranker._loader import ranker_args, ranker_emb_size
 
         kw = super().corpus_kwargs(args, corpus)
         kw["ranker_emb_size"] = ranker_emb_size(args)
+        if getattr(args, "tuneranker", 0):
+            from rechorus_tpu import registry
+
+            r_args = ranker_args(args)
+            ranker_cls = registry.get_model(args.ranker_name, "Impression")
+            kw["ranker_module"] = ranker_cls.from_args(r_args, corpus)
         return kw
+
+    def rerank_feed(self, feed: Dict[str, jnp.ndarray], training: bool) -> Dict[str, jnp.ndarray]:
+        """Materialize the ranker-stage feed keys. Frozen lane: they were
+        precomputed by the batcher (no-op here). Tuned lane: run the
+        trainable ranker submodule so the keys are differentiable w.r.t.
+        its params."""
+        if not self.tuneranker or "scores" in feed:
+            return feed
+        out = self.ranker_module(feed, training=False)
+        feed = dict(feed)
+        valid = feed["target"] != -1
+        scores = jnp.where(valid, out["prediction"], -jnp.inf)
+        order = jnp.argsort(-scores, axis=1)
+        feed["scores"] = scores
+        feed["position"] = jnp.argsort(order, axis=1).astype(jnp.int32)
+        feed["padding_mask"] = ~valid
+        feed["u_v"] = out["u_v"]
+        feed["i_v"] = out["i_v"]
+        if self._needs_his_v:
+            his_feed = dict(feed)
+            his_feed["item_id"] = feed["history_items"]
+            feed["his_v"] = self.ranker_module(his_feed, training=False)["i_v"]
+        return feed
 
 
 class RerankSeqModel(RerankModel):
@@ -617,6 +659,7 @@ class RerankSeqModel(RerankModel):
 
     reader: ClassVar[str] = "ImpressionSeqReader"
     batcher: ClassVar[str] = "rerank_seq"
+    _needs_his_v: ClassVar[bool] = True
 
     history_max: int = 20
 

@@ -64,6 +64,7 @@ class MIRBase:
         return parser
 
     def mir_prediction(self, feed, training: bool):
+        feed = self.rerank_feed(feed, training)  # no-op unless --tuneranker
         i_ids = feed["item_id"]
         his_ids = feed["history_items"]
         B, Lv = i_ids.shape

@@ -26,6 +26,7 @@ class PRMBase:
         return parser
 
     def prm_prediction(self, feed, training: bool):
+        feed = self.rerank_feed(feed, training)  # no-op unless --tuneranker
         i_ids = feed["item_id"]  # [B, L]
         L = i_ids.shape[1]
         i_vectors = embed(self.item_num, self.emb_size, "i_embeddings")(i_ids)

@@ -50,6 +50,7 @@ class SetRankBase:
         return parser
 
     def setrank_prediction(self, feed, training: bool):
+        feed = self.rerank_feed(feed, training)  # no-op unless --tuneranker
         i_ids = feed["item_id"]
         i_vectors = embed(self.item_num, self.emb_size, "i_embeddings")(i_ids)
         pv = jnp.concatenate([feed["u_v"], feed["i_v"]], axis=2)

@@ -341,6 +341,10 @@ class BaseRunner:
         if hasattr(model, "post_init_state"):
             # e.g. BUIR copies online params into the EMA target collection
             state = model.post_init_state(state)
+        if hasattr(batcher, "post_init_state"):
+            # e.g. RerankBatcher injects the loaded ranker checkpoint into
+            # the trainable tree under --tuneranker
+            state = batcher.post_init_state(state)
         if self.mesh is not None:
             from rechorus_tpu.parallel.mesh import shard_state
 

@@ -108,38 +108,65 @@ def _bucket_max(s, bucket: int):
     return s.reshape(B, -1, bucket).max(-1)
 
 
-def _exact_bucket_select(bm, kk: int, fan: int = 16):
-    """Exact top-kk bucket ids over a WIDE bucket-max matrix without a
-    full-width `lax.top_k` (whose sort-based lowering dominated the
-    1M-item exact serve lane: top_k over [4096, 62592] costs more than
-    the scoring matmul). Two levels, same containment argument as the
-    bucket hierarchy itself, applied recursively: group `fan` adjacent
-    buckets into a super-bucket, take the top kk super-buckets by max
-    (any level-1 bucket in the true top kk has a super-bucket max >= its
-    own max, and fewer than kk supers can strictly beat it), expand to
-    their fan*kk member buckets, and finish with a small exact top_k."""
+# candidate oversampling of the verified-approx select: the verify
+# condition only checks the TOP kk of the selected set, so misses in the
+# oversample tail don't trigger the fallback
+APPROX_SELECT_OVERSAMPLE = 2.0
+
+
+def _exact_bucket_select(bm, kk: int):
+    """EXACT top-kk (values, ids) over a WIDE bucket-max matrix without
+    paying a full-width `lax.top_k` sort (measured r5, B=4096, G=62592,
+    kk=150, 1 chip: direct top_k 144 ms; the r3/r4 two-level row-gather
+    select 190 ms; this path 39 ms approx + 11 ms count-verify).
+
+    Three steps:
+      1. Candidate pass: `lax.approx_max_k(bm, ~2*kk)` -- TPU
+         PartialReduce, deterministic (windowed running maxes; misses
+         happen only when many top values cluster in one window).
+      2. VERIFY: tau = kk-th largest selected value; one streaming count
+         pass checks `#{bm >= tau} == #{selected >= tau}` per row --
+         i.e. every position scoring >= tau was selected. When that
+         holds, selected contains every bucket with value >= the true
+         kk-th-largest (containment proof: the needed set S* = top-kk
+         buckets by value; all its members are >= tau because
+         tau <= kk-th largest overall, and the count equality says
+         nothing >= tau was missed), so the top kk of the selected set
+         IS the exact answer, ties included.
+      3. Fallback: if ANY row fails (rare for well-spread scores;
+         guaranteed-triggered for adversarial layouts like
+         ascending-sorted catalogs, and for rows with < kk finite
+         buckets where tau = -inf), one `lax.cond` runs full-width
+         `lax.top_k` for the whole batch -- so worst case == direct
+         top_k + 50 ms, and exactness is UNCONDITIONAL.
+    """
     B, G = bm.shape
-    gp = -(-G // fan) * fan
-    if gp != G:
-        bm = jnp.pad(bm, ((0, 0), (0, gp - G)), constant_values=-jnp.inf)
-    bm2 = bm.reshape(B, gp // fan, fan).max(axis=2)
-    kk2 = min(kk, bm2.shape[1])
-    _, sb = jax.lax.top_k(bm2, kk2)                           # [B, kk2]
-    l1 = (sb[:, :, None] * fan
-          + jnp.arange(fan, dtype=sb.dtype)[None, None, :]).reshape(B, -1)
-    v1 = jnp.take_along_axis(bm, l1, axis=1)                  # [B, kk2*fan]
-    vals, sel = jax.lax.top_k(v1, min(kk, v1.shape[1]))
-    return vals, jnp.take_along_axis(l1, sel, axis=1)
+    kk_o = min(G, int(kk * APPROX_SELECT_OVERSAMPLE) + 16)
+    v, ids = jax.lax.approx_max_k(bm, kk_o, recall_target=0.95)
+    tau = v[:, kk - 1]
+    # tau = -inf rows: `>= -inf` counts every position -> cnt_all = G !=
+    # cnt_sel -> the row fails -> exact fallback (correct and rare)
+    cnt_all = (bm >= tau[:, None]).sum(axis=1)
+    cnt_sel = (v >= tau[:, None]).sum(axis=1)
+    ok = jnp.all(cnt_all == cnt_sel)
+
+    def fast(_):
+        return v[:, :kk], ids[:, :kk].astype(jnp.int32)
+
+    def fallback(_):
+        fv, fi = jax.lax.top_k(bm, kk)
+        return fv, fi.astype(jnp.int32)
+
+    return jax.lax.cond(ok, fast, fallback, None)
 
 
 # full-width lax.top_k on the bucket-max matrix is fine below this many
-# buckets; above it the two-level select wins. Measured (r4, B=4096,
-# k=100): at 6250 buckets direct top_k = 22 ms vs two-level = 86 ms --
-# the two-level's take_along_axis of [B, fan*k] from the bucket-max
-# matrix is a ~77 ms scalarized row-gather regardless of width, so it
-# only pays off once the direct sort clears it (~60k+ buckets; at 1M
-# items / 62592 buckets two-level measured faster in r3)
-MAX_DIRECT_BUCKET_TOPK = 16384
+# buckets; above it the verified-approx select wins. Measured (r5,
+# B=4096, kk=150, 1 chip, same session): direct top_k 31 ms @ G=6250 /
+# 70 ms @ 16384 / 144 ms @ 62592; verified-approx 50 ms @ 62592 (39 + 11)
+# and ~a few ms at small G -- but below ~8k buckets the direct sort is
+# already cheap and has no fallback risk, so keep it there.
+MAX_DIRECT_BUCKET_TOPK = 8192
 
 
 def _exact_rescore(u, table, bias, raw_cand, col_offset, n_valid, n_rows):
@@ -204,16 +231,26 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
     M = clicked_rows.shape[1] if clicked_rows is not None else 0
     k_wide = min(k + M, N)
 
-    if not approx and _use_pallas() and N >= bucket * 128:
+    if _use_pallas() and N >= bucket * 128:
         # fused stage 1: matmul + mask + strided-bucket max in VMEM
         # (ops/pallas_topk.py); stage 2 identical modulo the strided
-        # bucket -> item expansion
+        # bucket -> item expansion. The approx lane shares this path
+        # (r5): selecting approximately at the BUCKET level and rescoring
+        # the winners' items exactly beats the old per-tile
+        # `approx_max_k` over raw scores -- the per-128k-tile
+        # PartialReduce was ~20 ms/tile x 8 tiles at 1M items, vs one
+        # 18 ms fused bucket-max + one 23 ms approx select here -- and
+        # its recall is >= the raw-score lane's at the same target
+        # (bucket maxes only merge candidates, never drop a window).
         from rechorus_tpu.ops import pallas_topk as PT
 
         bm = PT.fused_bucket_max(u, table, bucket=bucket, bias=bias,
                                  n_valid=n_valid, col_offset=col_offset)
         kk = min(k_wide, bm.shape[1])
-        if bm.shape[1] > MAX_DIRECT_BUCKET_TOPK:
+        if approx:
+            gv, gb = jax.lax.approx_max_k(bm, kk, recall_target=recall_target)
+            gb = gb.astype(jnp.int32)
+        elif bm.shape[1] > MAX_DIRECT_BUCKET_TOPK:
             gv, gb = _exact_bucket_select(bm, kk)
         else:
             gv, gb = jax.lax.top_k(bm, kk)

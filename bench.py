@@ -21,6 +21,8 @@ RE-EMITTED as the final line so single-line consumers (the driver's
   kda         KDA Grocery s/train-epoch     (ref published 9.9 s/iter)
   testall     Grocery --test_all dev eval seconds (catalog protocol;
               vs round-2 measured 0.1 s)
+  serve1m     1M-item full-catalog top-100 users/s, tiled exact +
+              bucket-approx (vs r4 measured 19.9k / 24.2k)
 
 Budget guard (VERDICT r3 item 1): the whole bench must finish inside the
 driver's window. A global wall-clock budget (BENCH_BUDGET_S env, default
@@ -199,6 +201,30 @@ def lane_serve(timeout: float = 110):
     return rows
 
 
+def lane_serve1m(timeout: float = 220):
+    """1M-item full-catalog top-100 serving, both product tiled lanes
+    (r5 target: VERDICT r4 item 2). vs_baseline = speedup over the r4
+    same-session measurements (tiled exact 19.9k / tiled approx 24.2k
+    u/s, docs/PERF.md r4)."""
+    out = _run_prod(["--users", "200000", "--items", "1000000",
+                     "--interactions", "16384", "--train", "0",
+                     "--serve", "tiled_exact,tiled_approx"], timeout)
+    rows = []
+    for key, label, base in [
+        ("serving_users_per_s_full_catalog_top100_tiled_exact",
+         "full-catalog top-100 serve users/s (1M items, exact tiled+grouped)",
+         19_900.0),
+        ("serving_users_per_s_full_catalog_top100_tiled_approx",
+         "full-catalog top-100 serve users/s (1M items, bucket-approx .98)",
+         24_200.0),
+    ]:
+        v = next((d[key] for d in out if key in d), None)
+        if v:
+            rows.append({"metric": label, "value": v, "unit": "users/s",
+                         "vs_baseline": round(v / base, 2)})
+    return rows
+
+
 def lane_testall():
     import jax
     import numpy as np
@@ -237,6 +263,7 @@ LANES = {  # value-first order; flagship bprmf FIRST (re-emitted last)
     "sasrec": lambda: lane_grocery_epoch("sasrec"),
     "kda": lambda: lane_grocery_epoch("kda"),
     "testall": lane_testall,
+    "serve1m": lane_serve1m,
 }
 
 # lanes grouped into ONE child process each so the TPU client init and
@@ -246,7 +273,7 @@ LANES = {  # value-first order; flagship bprmf FIRST (re-emitted last)
 # the stall point)
 GROUPS = [
     ("research", ["bprmf", "sasrec", "kda", "testall"], 340),
-    ("prod", ["prod", "serve"], 250),
+    ("prod", ["prod", "serve", "serve1m"], 420),
 ]
 
 

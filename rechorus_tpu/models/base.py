@@ -43,6 +43,13 @@ class BaseModel(nn.Module):
     # propagated embeddings) return it explicitly.
     supports_catalog: ClassVar[bool] = False
     catalog_table: ClassVar[tuple] = ("i_embeddings",)
+    # True when the catalog table the runner scores against IS the raw
+    # param table at catalog_table (no "i_table" in the catalog output).
+    # Lets predict_topk pre-build the grouped-slice rescore copy
+    # (ops/topk.group_table_for_rescore) once per call, outside the
+    # eval scan. Models returning a TRANSFORMED table (LightGCN's
+    # propagated embeddings, FPMC's fused MF+FMC table) set False.
+    catalog_raw_table: ClassVar[bool] = True
 
     @staticmethod
     def parse_model_args(parser):

@@ -101,6 +101,7 @@ class LightGCNBase:
 class LightGCN(GeneralModel, LightGCNBase):
     extra_log_args: ClassVar[list] = ["emb_size", "n_layers", "batch_size"]
     supports_catalog: ClassVar[bool] = True
+    catalog_raw_table: ClassVar[bool] = False  # returns a transformed i_table
 
     def lazy_table_specs(self) -> dict:
         # OPT OUT of --lazy_emb_adam: graph propagation back-propagates

@@ -31,6 +31,7 @@ class FPMC(SequentialModel):
 
     extra_log_args: ClassVar[list] = ["emb_size"]
     supports_catalog: ClassVar[bool] = True
+    catalog_raw_table: ClassVar[bool] = False  # returns a transformed i_table
 
     emb_size: int = 64
 

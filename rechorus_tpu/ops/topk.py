@@ -108,65 +108,67 @@ def _bucket_max(s, bucket: int):
     return s.reshape(B, -1, bucket).max(-1)
 
 
-# candidate oversampling of the verified-approx select: the verify
-# condition only checks the TOP kk of the selected set, so misses in the
-# oversample tail don't trigger the fallback
-APPROX_SELECT_OVERSAMPLE = 2.0
+# EXACT bucket selection is a plain full-width `lax.top_k` at EVERY
+# width since r5. The graveyard, all measured same-session at B=4096,
+# kk=150 on the [4096, 62592] 1M-item bucket-max matrix (1 chip):
+#   * direct lax.top_k: 144 ms (31 ms @ G=6250, 70 ms @ 16384) -- the
+#     baseline that everything below tried and failed to beat;
+#   * r3/r4 two-level fan-16 super-bucket select: 190 ms -- its
+#     take_along_axis member-value gather is a ~12 ns/element scalar
+#     row-gather, width-independent, and dominates at every width;
+#   * verified-approx select (approx_max_k candidates + streaming
+#     count verification + lax.cond exact fallback -- the containment
+#     proof was sound): DEAD END on the fallback RATE. The misses of
+#     approx_max_k's PartialReduce land inside the top kk uniformly, so
+#     at recall_target 0.95/0.96 ~73% of ROWS failed verification and
+#     at 0.97/0.98 ~42% (2x oversampling included) -- any failed row
+#     trips the whole-batch cond, so the fallback fired ~always and the
+#     lane paid approx + count + top_k. recall_target 0.99 verified
+#     clean (0/4096 rows) but the approx call itself measured ~320 ms --
+#     slower than the fallback it was avoiding.
+# What actually moved the lane is stage 2: `group_table_for_rescore`
+# turned the rescore's scattered row-gather (113 ms) into contiguous
+# slice gathers (49 ms). See docs/PERF.md r5.
 
 
-def _exact_bucket_select(bm, kk: int):
-    """EXACT top-kk (values, ids) over a WIDE bucket-max matrix without
-    paying a full-width `lax.top_k` sort (measured r5, B=4096, G=62592,
-    kk=150, 1 chip: direct top_k 144 ms; the r3/r4 two-level row-gather
-    select 190 ms; this path 39 ms approx + 11 ms count-verify).
-
-    Three steps:
-      1. Candidate pass: `lax.approx_max_k(bm, ~2*kk)` -- TPU
-         PartialReduce, deterministic (windowed running maxes; misses
-         happen only when many top values cluster in one window).
-      2. VERIFY: tau = kk-th largest selected value; one streaming count
-         pass checks `#{bm >= tau} == #{selected >= tau}` per row --
-         i.e. every position scoring >= tau was selected. When that
-         holds, selected contains every bucket with value >= the true
-         kk-th-largest (containment proof: the needed set S* = top-kk
-         buckets by value; all its members are >= tau because
-         tau <= kk-th largest overall, and the count equality says
-         nothing >= tau was missed), so the top kk of the selected set
-         IS the exact answer, ties included.
-      3. Fallback: if ANY row fails (rare for well-spread scores;
-         guaranteed-triggered for adversarial layouts like
-         ascending-sorted catalogs, and for rows with < kk finite
-         buckets where tau = -inf), one `lax.cond` runs full-width
-         `lax.top_k` for the whole batch -- so worst case == direct
-         top_k + 50 ms, and exactness is UNCONDITIONAL.
-    """
-    B, G = bm.shape
-    kk_o = min(G, int(kk * APPROX_SELECT_OVERSAMPLE) + 16)
-    v, ids = jax.lax.approx_max_k(bm, kk_o, recall_target=0.95)
-    tau = v[:, kk - 1]
-    # tau = -inf rows: `>= -inf` counts every position -> cnt_all = G !=
-    # cnt_sel -> the row fails -> exact fallback (correct and rare)
-    cnt_all = (bm >= tau[:, None]).sum(axis=1)
-    cnt_sel = (v >= tau[:, None]).sum(axis=1)
-    ok = jnp.all(cnt_all == cnt_sel)
-
-    def fast(_):
-        return v[:, :kk], ids[:, :kk].astype(jnp.int32)
-
-    def fallback(_):
-        fv, fi = jax.lax.top_k(bm, kk)
-        return fv, fi.astype(jnp.int32)
-
-    return jax.lax.cond(ok, fast, fallback, None)
+def group_table_for_rescore(table, bucket: int | None = None, nb: int = 128):
+    """One-time [Gp, bucket, D] copy of `table` where each STRIDED pallas
+    bucket's members (ops/pallas_topk.fused_bucket_max partition: bucket
+    g = rows (g//nb)*bucket*nb + g%nb + arange(bucket)*nb) are
+    CONTIGUOUS. Stage 2's rescore gather then moves one 4 KB slice per
+    selected bucket instead of `bucket` scattered 256 B rows -- measured
+    r5 at 1M items (B=4096, kk=150): 113 ms flat row-gather -> 49 ms
+    slice gather; the copy itself costs ~18 ms + one extra table of HBM
+    and is built ONCE outside the per-batch scan (runner predict_topk /
+    prod_bench)."""
+    bucket = bucket or DEFAULT_BUCKET
+    N = table.shape[0]
+    n_blocks = -(-N // (bucket * nb))
+    g = jnp.arange(n_blocks * nb)
+    old = ((g[:, None] // nb) * (bucket * nb) + (g[:, None] % nb)
+           + jnp.arange(bucket)[None, :] * nb)
+    return table[jnp.minimum(old, N - 1)]
 
 
-# full-width lax.top_k on the bucket-max matrix is fine below this many
-# buckets; above it the verified-approx select wins. Measured (r5,
-# B=4096, kk=150, 1 chip, same session): direct top_k 31 ms @ G=6250 /
-# 70 ms @ 16384 / 144 ms @ 62592; verified-approx 50 ms @ 62592 (39 + 11)
-# and ~a few ms at small G -- but below ~8k buckets the direct sort is
-# already cheap and has no fallback risk, so keep it there.
-MAX_DIRECT_BUCKET_TOPK = 8192
+def _exact_rescore_grouped(u, grouped, bias, gb, raw_cand, col_offset,
+                           n_valid, n_rows):
+    """Grouped-slice variant of `_exact_rescore`: candidate VECTORS come
+    from `group_table_for_rescore`'s [Gp, bucket, D] layout ([B, kk]
+    slice gathers); masks and returned ids still use `raw_cand` (the
+    analytic strided expansion, already N-substituted for pad slots)."""
+    B, kk = gb.shape
+    bucket = grouped.shape[1]
+    cvec = grouped[jnp.minimum(gb, grouped.shape[0] - 1)]      # [B, kk, bucket, D]
+    cs = jnp.einsum("bd,bksd->bks", u, cvec.astype(u.dtype)).reshape(B, -1)
+    in_range = raw_cand < n_rows
+    cand = jnp.minimum(raw_cand, n_rows - 1).astype(jnp.int32)
+    if bias is not None:
+        cs = cs + bias[cand]
+    gcand = cand + col_offset
+    ok = in_range & (gcand > 0)
+    if n_valid is not None:
+        ok = ok & (gcand < n_valid)
+    return jnp.where(ok, cs, -jnp.inf), cand
 
 
 def _exact_rescore(u, table, bias, raw_cand, col_offset, n_valid, n_rows):
@@ -210,7 +212,8 @@ def _final_select(cs, cand, k, k_wide, clicked_rows, col_offset):
 def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
                        n_valid: int | None = None, bucket: int | None = None,
                        tile: int | None = None, approx: bool = False,
-                       recall_target: float = 0.98, col_offset=0):
+                       recall_target: float = 0.98, col_offset=0,
+                       grouped_table=None):
     """Exact (or per-tile-approx) masked top-k over u @ table.T + bias,
     streamed over catalog tiles. Returns (values [B, k], item ids [B, k]).
 
@@ -250,21 +253,23 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
         if approx:
             gv, gb = jax.lax.approx_max_k(bm, kk, recall_target=recall_target)
             gb = gb.astype(jnp.int32)
-        elif bm.shape[1] > MAX_DIRECT_BUCKET_TOPK:
-            gv, gb = _exact_bucket_select(bm, kk)
         else:
             gv, gb = jax.lax.top_k(bm, kk)
         raw_cand = PT.expand_bucket_items(gb, bucket)
         # a -inf selected bucket is a pad slot (fewer than kk finite
-        # buckets): its id may sit in _exact_bucket_select's fan padding
-        # (>= G), and with the strided layout expand_bucket_items can
-        # alias such ids back onto REAL item positions when G % NB != 0,
-        # injecting duplicate candidates. Force their expansions out of
-        # range so _exact_rescore masks them (ADVICE r3).
+        # buckets): with the strided layout expand_bucket_items can
+        # alias pad/overhang ids back onto REAL item positions when
+        # G % NB != 0, injecting duplicate candidates. Force their
+        # expansions out of range so _exact_rescore masks them
+        # (ADVICE r3).
         pad_mask = jnp.repeat(jnp.isneginf(gv), bucket, axis=1)
         raw_cand = jnp.where(pad_mask, N, raw_cand)
-        cs, cand = _exact_rescore(u, table, bias, raw_cand,
-                                  col_offset, n_valid, N)
+        if grouped_table is not None:
+            cs, cand = _exact_rescore_grouped(u, grouped_table, bias, gb,
+                                              raw_cand, col_offset, n_valid, N)
+        else:
+            cs, cand = _exact_rescore(u, table, bias, raw_cand,
+                                      col_offset, n_valid, N)
         return _final_select(cs, cand, k, k_wide, clicked_rows, col_offset)
 
     n_full, full_span, tail_rows, tile = _tile_plan(N, tile, 1 if approx else bucket)

@@ -1051,7 +1051,7 @@ class BaseRunner:
         if cache_key not in self._compiled:
             tiled_forward = self._use_tiled_forward(model, batcher)
 
-            def step(arrays, variables, idx):
+            def step(arrays, variables, idx, grouped=None):
                 if tiled_forward:
                     items, scores = self._tiled_forward_topk(
                         model, batcher, variables, arrays, idx,
@@ -1072,7 +1072,7 @@ class BaseRunner:
                         elif table.shape[0] >= topk_ops.MIN_ROWS_FOR_TILED and (
                                 not self.approx_topk
                                 or u.shape[0] * table.shape[0] > topk_ops.DENSE_APPROX_MAX_ELEMS):
-                            # hierarchical exact (or per-tile approx) top-k,
+                            # hierarchical exact (or bucket-approx) top-k,
                             # streamed over catalog tiles (ops/topk.py):
                             # 2.6x the dense exact lane at 100k items,
                             # and the only lane that fits at 1M+. The
@@ -1082,7 +1082,8 @@ class BaseRunner:
                                 u, table, k, bias=bias,
                                 clicked_rows=feed["_clicked_rows"], n_valid=n_items,
                                 approx=self.approx_topk,
-                                recall_target=self.approx_topk_recall)
+                                recall_target=self.approx_topk_recall,
+                                grouped_table=grouped)
                         else:
                             pred = self._dense_catalog_scores(u, table, bias, n_items)
                             scores, items = metrics_ops.masked_topk(
@@ -1114,8 +1115,25 @@ class BaseRunner:
             @jax.jit
             def topk_fn(params, extra_vars, arrays, idx_mat):
                 variables = {"params": params, **extra_vars}
+                # grouped-slice rescore copy, built ONCE per call OUTSIDE
+                # the eval scan (18 ms + one table of HBM at 1M items;
+                # cuts the tiled stage-2 gather 113 -> 49 ms/batch). Only
+                # when the tiled pallas branch will read the RAW param
+                # table; XLA DCEs it if the branch is not taken.
+                grouped = None
+                if (getattr(batcher, "test_all", False) and not tiled_forward
+                        and getattr(model, "supports_catalog", False)
+                        and getattr(model, "catalog_raw_table", True)
+                        and self.mesh is None and topk_ops._use_pallas()):
+                    node = params
+                    for kk_ in model.catalog_table:
+                        node = node[kk_]
+                    tbl = node["embedding"]
+                    if tbl.shape[0] >= max(topk_ops.MIN_ROWS_FOR_TILED,
+                                           topk_ops.DEFAULT_BUCKET * 128):
+                        grouped = topk_ops.group_table_for_rescore(tbl)
                 _, (items, scores) = jax.lax.scan(
-                    lambda v, i: step(arrays, v, i), variables, idx_mat)
+                    lambda v, i: step(arrays, v, i, grouped), variables, idx_mat)
                 return (self._replicate_out(items.reshape(-1, items.shape[-1])),
                         self._replicate_out(scores.reshape(-1, scores.shape[-1])))
 

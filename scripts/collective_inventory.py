@@ -40,12 +40,16 @@ def scan_dump(dump_dir: str):
         return None, {}
     main = max(txts, key=os.path.getsize)
     ops = collections.defaultdict(list)
+    pat = re.compile(r"%(all-reduce|all-gather|reduce-scatter|"
+                     r"collective-permute|all-to-all)(?:-start)?[\w.]*\s*=\s*(.*)")
     with open(main) as f:
         for line in f:
-            m = re.search(r"=\s*(\S+)\s+(all-reduce|all-gather|reduce-scatter|"
-                          r"collective-permute|all-to-all)", line)
-            if m:
-                shape, op = m.group(1), m.group(2)
+            m = pat.search(line)
+            if m and "-done" not in line.split("=")[0]:
+                op, rhs = m.group(1), m.group(2)
+                # shape(s) = RHS up to the op token; strip layout braces
+                shape = rhs.split(m.group(1))[0].strip()
+                shape = re.sub(r"\{[^}]*\}", "", shape)
                 ops[op].append(shape)
     agg = {op: dict(collections.Counter(shapes)) for op, shapes in ops.items()}
     return os.path.basename(main), agg

@@ -216,20 +216,23 @@ def run_serve(a, state, serve_lanes):
     import jax.numpy as jnp
     import numpy as np
 
-    from rechorus_tpu.ops.topk import tiled_catalog_topk
+    from rechorus_tpu.ops.topk import group_table_for_rescore, tiled_catalog_topk
 
     rng = np.random.default_rng(1)
     T, B, I = 20, a.batch_size, a.items
     serve_users = jnp.asarray(rng.integers(1, a.users, size=(T, B)), dtype=jnp.int32)
 
-    def serve_bench(label, body):
+    def serve_bench(label, body, grouped=False):
         @jax.jit
         def run(params, serve_users):
             it = params["i_embeddings"]["embedding"]
             ut = params["u_embeddings"]["embedding"]
+            # grouped-slice rescore copy built ONCE outside the batch scan
+            # (mirrors runners/base.py predict_topk's prologue)
+            g = group_table_for_rescore(it) if grouped else None
 
             def step(carry, ids):
-                v, i = body(ut[ids], it)
+                v, i = body(ut[ids], it, g)
                 return carry + i.sum() + v.sum().astype(jnp.float32), None
 
             acc, _ = jax.lax.scan(step, jnp.float32(0), serve_users)
@@ -244,22 +247,25 @@ def run_serve(a, state, serve_lanes):
 
     if "dense_exact" in serve_lanes and I <= 200_000:
         serve_bench("serving_users_per_s_full_catalog_top100_dense_exact",
-                    lambda u, it: jax.lax.top_k(u @ it.T, 100))
+                    lambda u, it, g: jax.lax.top_k(u @ it.T, 100))
     if "dense_approx" in serve_lanes and I <= 200_000:
         serve_bench("serving_users_per_s_full_catalog_top100_dense_approx",
-                    lambda u, it: jax.lax.approx_max_k(
+                    lambda u, it, g: jax.lax.approx_max_k(
                         u.astype(jnp.bfloat16) @ it.astype(jnp.bfloat16).T, 100,
                         recall_target=0.98))
     # product lanes (runners/base.py predict_topk routes here for
     # catalogs >= ops.topk.MIN_ROWS_FOR_TILED): hierarchical exact
-    # streaming top-k, and the per-tile approx fast lane
+    # streaming top-k, and the bucket-approx fast lane
     if "tiled_exact" in serve_lanes:
         serve_bench("serving_users_per_s_full_catalog_top100_tiled_exact",
-                    lambda u, it: tiled_catalog_topk(u, it, 100))
+                    lambda u, it, g: tiled_catalog_topk(u, it, 100, grouped_table=g),
+                    grouped=True)
     if "tiled_approx" in serve_lanes:
         serve_bench("serving_users_per_s_full_catalog_top100_tiled_approx",
-                    lambda u, it: tiled_catalog_topk(u, it, 100, approx=True,
-                                                     recall_target=0.98))
+                    lambda u, it, g: tiled_catalog_topk(u, it, 100, approx=True,
+                                                        recall_target=0.98,
+                                                        grouped_table=g),
+                    grouped=True)
 
 
 def main():

@@ -119,12 +119,35 @@ def main():
             dt = timed(lambda x: jax.lax.top_k(x, kk), bms[32], reps=a.reps)
             emit("direct_topk_b32", dt, width=int(bms[32].shape[1]), kk=kk)
 
+    if "recall" in stages:
+        # effective ITEM recall of the bucket-approx lane vs exact, at a
+        # smaller B (one batch suffices for a recall estimate)
+        grouped = topk_ops.group_table_for_rescore(table)
+        us = u[:512]
+        ev, ei = topk_ops.tiled_catalog_topk(us, table, a.k, n_valid=a.n,
+                                             grouped_table=grouped)
+        ei = np.asarray(ei)
+        for rt in (0.95, 0.98):
+            _, ai = topk_ops.tiled_catalog_topk(us, table, a.k, n_valid=a.n,
+                                                approx=True, recall_target=rt,
+                                                grouped_table=grouped)
+            ai = np.asarray(ai)
+            rec = np.mean([len(set(ai[b]) & set(ei[b])) / a.k
+                           for b in range(ei.shape[0])])
+            print(json.dumps({"stage": "bucket_approx_item_recall",
+                              "recall_target": rt,
+                              "measured_recall": round(float(rec), 4)}),
+                  flush=True)
+
     if "e2e" in stages:
+        grouped = topk_ops.group_table_for_rescore(table)
         for approx in (False, True):
-            fn = lambda uu, ap_=approx: topk_ops.tiled_catalog_topk(
-                uu, table, a.k, clicked_rows=clicked, n_valid=a.n, approx=ap_)
-            dt = timed(fn, u, reps=a.reps)
-            emit("e2e_product", dt, approx=approx)
+            for g in (None, grouped):
+                fn = lambda uu, ap_=approx, g_=g: topk_ops.tiled_catalog_topk(
+                    uu, table, a.k, clicked_rows=clicked, n_valid=a.n,
+                    approx=ap_, grouped_table=g_)
+                dt = timed(fn, u, reps=a.reps)
+                emit("e2e_product", dt, approx=approx, grouped=g is not None)
 
 
 if __name__ == "__main__":

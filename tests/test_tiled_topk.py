@@ -137,45 +137,57 @@ def test_bucket_overhang_does_not_duplicate_last_item():
     assert len(set(valid.tolist())) == len(valid)
 
 
-def test_exact_bucket_select_matches_direct_topk():
-    """Two-level bucket selection (ops/topk._exact_bucket_select) must
-    pick the same top-kk VALUES as a direct lax.top_k over the bucket-max
-    matrix (ids may reorder only at exact ties; continuous random data
-    has none), across widths around the fan boundary and with -inf pads."""
-    from rechorus_tpu.ops.topk import _exact_bucket_select
+def test_grouped_rescore_matches_flat():
+    """`grouped_table` (the slice-contiguous rescore copy, r5) must be a
+    pure layout change: identical values/ids to the flat rescore through
+    the pallas branch, across bucket-unaligned catalogs and dead rows."""
+    from rechorus_tpu.ops import topk as T
+    from rechorus_tpu.ops.topk import group_table_for_rescore
 
-    rng = np.random.default_rng(5)
-    for G in [17, 64, 100, 1024, 5000]:
-        for kk in [1, 7, 50]:
-            bm = rng.standard_normal((9, G)).astype(np.float32)
-            bm[:, G // 3] = -np.inf  # dead bucket
-            gv, got = _exact_bucket_select(jnp.asarray(bm), min(kk, G))
-            gv, got = np.asarray(gv), np.asarray(got)
-            want_v, want_i = jax.lax.top_k(jnp.asarray(bm), min(kk, G))
-            np.testing.assert_allclose(gv, np.asarray(want_v), rtol=0,
-                                       err_msg=f"G={G} kk={kk}")
-            # finite slots must point at a real column holding that value;
-            # -inf slots may carry pad ids >= G (callers mask them by the
-            # returned value -- see tiled_catalog_topk)
-            finite = np.isfinite(gv)
-            assert (got[finite] < G).all()
-            vals_at = np.take_along_axis(bm, np.minimum(got, G - 1), axis=1)
-            np.testing.assert_array_equal(vals_at[finite], gv[finite])
+    old_pallas = T.PALLAS
+    T.PALLAS = "on"
+    try:
+        for N, n_valid in [(4096, None), (5000, 4993), (2049, 2049)]:
+            u, table, b, clicked = _setup(N)
+            grouped = group_table_for_rescore(table, bucket=16)
+            fv, fi = tiled_catalog_topk(u, table, 20, bias=b,
+                                        clicked_rows=clicked, n_valid=n_valid,
+                                        bucket=16)
+            gv, gi = tiled_catalog_topk(u, table, 20, bias=b,
+                                        clicked_rows=clicked, n_valid=n_valid,
+                                        bucket=16, grouped_table=grouped)
+            np.testing.assert_allclose(np.asarray(fv), np.asarray(gv),
+                                       rtol=1e-5, atol=1e-6, err_msg=f"N={N}")
+            mism = np.asarray(fi) != np.asarray(gi)
+            if mism.any():  # ties only
+                np.testing.assert_allclose(np.asarray(fv)[mism],
+                                           np.asarray(gv)[mism], rtol=1e-5)
+            # approx lane shares the rescore
+            fv, _ = tiled_catalog_topk(u, table, 20, bias=b, clicked_rows=clicked,
+                                       n_valid=n_valid, bucket=16, approx=True)
+            gv, _ = tiled_catalog_topk(u, table, 20, bias=b, clicked_rows=clicked,
+                                       n_valid=n_valid, bucket=16, approx=True,
+                                       grouped_table=grouped)
+            np.testing.assert_allclose(np.asarray(fv), np.asarray(gv),
+                                       rtol=1e-5, atol=1e-6)
+    finally:
+        T.PALLAS = old_pallas
 
 
-def test_tiled_topk_two_level_path_matches_dense():
-    """Force the two-level selection inside tiled_catalog_topk (pallas
-    interpret on CPU, threshold lowered) and check against dense."""
+def test_tiled_topk_pallas_wide_bucket_matrix_matches_dense():
+    """Pallas stage 1 with a wide (3000-bucket) matrix + the direct
+    full-width exact select (the only exact select since r5 -- see the
+    measurement graveyard in ops/topk.py) must match dense."""
     from rechorus_tpu.ops import topk as T
 
     u, table, b, clicked = _setup(6000, B=5, D=8)
     dv, di = metrics_ops.masked_topk(
         (u @ table.T + b[None, :]).at[:, 0].set(-np.inf), clicked, 10)
-    old_pallas, old_thresh = T.PALLAS, T.MAX_DIRECT_BUCKET_TOPK
-    T.PALLAS, T.MAX_DIRECT_BUCKET_TOPK = "on", 8
+    old_pallas = T.PALLAS
+    T.PALLAS = "on"
     try:
         tv, ti = tiled_catalog_topk(u, table, 10, bias=b, clicked_rows=clicked,
                                     tile=2048, bucket=2)
     finally:
-        T.PALLAS, T.MAX_DIRECT_BUCKET_TOPK = old_pallas, old_thresh
+        T.PALLAS = old_pallas
     np.testing.assert_allclose(np.asarray(tv), np.asarray(dv), rtol=1e-5)

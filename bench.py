@@ -151,7 +151,7 @@ def _run_prod(extra: list, timeout: float) -> list:
     return out
 
 
-def lane_prod(timeout: float = 170):
+def lane_prod(timeout: float = 200):
     """1M-item table training: dense Adam vs the packed sparse fast lane,
     both inside ONE prod_bench process (--compare) so the TPU client and
     id-array setup are paid once. 1M interactions / 2 timing epochs keeps
@@ -176,7 +176,7 @@ def lane_prod(timeout: float = 170):
     return rows
 
 
-def lane_serve(timeout: float = 110):
+def lane_serve(timeout: float = 150):
     # tiled_exact is the PRODUCT exact path (runners predict_topk routes
     # catalogs >= MIN_ROWS_FOR_TILED through tiled_catalog_topk's fused
     # pallas stage 1); dense_approx stays the approx headline.
@@ -272,8 +272,8 @@ LANES = {  # value-first order; flagship bprmf FIRST (re-emitted last)
 # k still delivers lanes 1..k-1 (the r3 failure lost everything after
 # the stall point)
 GROUPS = [
-    ("research", ["bprmf", "sasrec", "kda", "testall"], 340),
-    ("prod", ["prod", "serve", "serve1m"], 420),
+    ("research", ["bprmf", "sasrec", "kda", "testall"], 300),
+    ("prod", ["prod", "serve1m", "serve"], 430),
 ]
 
 

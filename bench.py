@@ -151,7 +151,7 @@ def _run_prod(extra: list, timeout: float) -> list:
     return out
 
 
-def lane_prod(timeout: float = 200):
+def lane_prod(timeout: float = 240):
     """1M-item table training: dense Adam vs the packed sparse fast lane,
     both inside ONE prod_bench process (--compare) so the TPU client and
     id-array setup are paid once. 1M interactions / 2 timing epochs keeps

@@ -111,13 +111,32 @@ def save_rec_results(args, corpus, model, runner, state, batchers, arrays, topk:
         preds, pos_num, neg_num = runner.predict(state, model, batcher, arr, "test")
         P = batcher.pos_len
         src = getattr(batcher, "_df", df)
-        out = pd.DataFrame({
-            "user_id": src["user_id"].to_numpy(),
-            "pos_items": [list(map(int, r)) for r in src["pos_items"]],
-            "pos_predictions": [list(np.round(r[:n], 4)) for r, n in zip(preds[:, :P], pos_num)],
-            "neg_items": [list(map(int, r)) for r in src["neg_items"]],
-            "neg_predictions": [list(np.round(r[:n], 4)) for r, n in zip(preds[:, P:], neg_num)],
-        })
+        if getattr(batcher, "test_all", False):
+            # catalog protocol (r5): the block after the positives is the
+            # FULL catalog (clicked/id-0 already -inf); export the top-k
+            # catalog recommendations instead of the logged negatives
+            cat = preds[:, P:]
+            kk = min(topk, cat.shape[1])
+            part = np.argpartition(-cat, kk - 1, axis=1)[:, :kk]
+            order = np.argsort(-np.take_along_axis(cat, part, axis=1),
+                               axis=1, kind="stable")
+            top_items = np.take_along_axis(part, order, axis=1)
+            top_scores = np.take_along_axis(cat, top_items, axis=1)
+            out = pd.DataFrame({
+                "user_id": src["user_id"].to_numpy(),
+                "pos_items": [list(map(int, r)) for r in src["pos_items"]],
+                "pos_predictions": [list(np.round(r[:n], 4)) for r, n in zip(preds[:, :P], pos_num)],
+                "rec_items": [list(map(int, r)) for r in top_items],
+                "rec_predictions": [list(np.round(r, 4)) for r in top_scores],
+            })
+        else:
+            out = pd.DataFrame({
+                "user_id": src["user_id"].to_numpy(),
+                "pos_items": [list(map(int, r)) for r in src["pos_items"]],
+                "pos_predictions": [list(np.round(r[:n], 4)) for r, n in zip(preds[:, :P], pos_num)],
+                "neg_items": [list(map(int, r)) for r in src["neg_items"]],
+                "neg_predictions": [list(np.round(r[:n], 4)) for r, n in zip(preds[:, P:], neg_num)],
+            })
     else:
         logging.info("Saving top-{} recommendation results to: {}".format(topk, result_path))
         items, scores = runner.predict_topk(state, model, batcher, arr, "test", k=topk)

@@ -140,14 +140,19 @@ def main():
                   flush=True)
 
     if "e2e" in stages:
-        grouped = topk_ops.group_table_for_rescore(table)
+        # NB the grouped copy must be built INSIDE the jit from the table
+        # (like the product paths do): closing over the 256 MB array
+        # embeds it in the compile payload and the axon tunnel rejects
+        # the RPC with HTTP 413
         for approx in (False, True):
-            for g in (None, grouped):
-                fn = lambda uu, ap_=approx, g_=g: topk_ops.tiled_catalog_topk(
-                    uu, table, a.k, clicked_rows=clicked, n_valid=a.n,
-                    approx=ap_, grouped_table=g_)
+            for grouped in (False, True):
+                def fn(uu, ap_=approx, g_=grouped):
+                    gt = topk_ops.group_table_for_rescore(table) if g_ else None
+                    return topk_ops.tiled_catalog_topk(
+                        uu, table, a.k, clicked_rows=clicked, n_valid=a.n,
+                        approx=ap_, grouped_table=gt)
                 dt = timed(fn, u, reps=a.reps)
-                emit("e2e_product", dt, approx=approx, grouped=g is not None)
+                emit("e2e_product", dt, approx=approx, grouped=grouped)
 
 
 if __name__ == "__main__":

@@ -272,7 +272,11 @@ LANES = {  # value-first order; flagship bprmf FIRST (re-emitted last)
 # k still delivers lanes 1..k-1 (the r3 failure lost everything after
 # the stall point)
 GROUPS = [
-    ("research", ["bprmf", "sasrec", "kda", "testall"], 300),
+    # the flagship runs ALONE first: its row is the driver's "parsed"
+    # metric and must survive even a sick tunnel window (r5: a 4-lane
+    # research group starved at cap 300 in one such window)
+    ("flagship", ["bprmf"], 180),
+    ("research", ["sasrec", "kda", "testall"], 280),
     ("prod", ["prod", "serve1m", "serve"], 430),
 ]
 

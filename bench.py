@@ -322,6 +322,21 @@ def main():
     import selectors
 
     t0 = time.monotonic()
+    # tunnel warmup OUTSIDE any lane budget: the FIRST TPU process after
+    # an idle period pays a large one-time tunnel (re)connect + device
+    # init cost -- r5 observed it starving whichever group ran first
+    # while every later group ran normally. One tiny device op in a
+    # throwaway subprocess absorbs it (cheap if the tunnel is already
+    # warm). Never run in-parent: the parent must not hold the TPU
+    # client while children do.
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float((jnp.ones((64,64)) @ jnp.ones((64,64))).sum()))"],
+            capture_output=True, timeout=min(150.0, a.budget / 4))
+    except subprocess.TimeoutExpired:
+        pass  # sick tunnel; lanes will report their own skips
     flagship_row = None
     # groups run SEQUENTIALLY: only ONE process may hold the TPU tunnel at
     # a time (a second heavy client, or killing one mid-device-call, can

@@ -26,7 +26,7 @@ RE-EMITTED as the final line so single-line consumers (the driver's
 
 Budget guard (VERDICT r3 item 1): the whole bench must finish inside the
 driver's window. A global wall-clock budget (BENCH_BUDGET_S env, default
-420 s) is enforced; each lane runs in its own subprocess under
+620 s) is enforced; each lane runs in its own subprocess under
 min(lane_cap, remaining_budget) — the axon tunnel intermittently stalls
 device RPCs for minutes (r4 opening: identical lane 27 s..7 min+), so a
 stalled lane is killed and reported as an explicit "skipped" JSON row
@@ -309,7 +309,7 @@ def main():
     ap.add_argument("--lane", default="",
                     help="(internal) comma list of lanes to run in-process")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("BENCH_BUDGET_S", 540)),
+                    default=float(os.environ.get("BENCH_BUDGET_S", 620)),
                     help="global wall-clock budget in seconds; lanes that "
                          "don't fit are skipped with an explicit JSON row")
     a = ap.parse_args()

@@ -321,8 +321,8 @@ def main():
     _ensure_grocery()
     import selectors
 
-    t0 = time.monotonic()
-    # tunnel warmup OUTSIDE any lane budget: the FIRST TPU process after
+    # tunnel warmup OUTSIDE the budget (t0 starts AFTER it): the FIRST
+    # TPU process after
     # an idle period pays a large one-time tunnel (re)connect + device
     # init cost -- r5 observed it starving whichever group ran first
     # while every later group ran normally. One tiny device op in a
@@ -337,6 +337,7 @@ def main():
             capture_output=True, timeout=min(150.0, a.budget / 4))
     except subprocess.TimeoutExpired:
         pass  # sick tunnel; lanes will report their own skips
+    t0 = time.monotonic()
     flagship_row = None
     # groups run SEQUENTIALLY: only ONE process may hold the TPU tunnel at
     # a time (a second heavy client, or killing one mid-device-call, can

@@ -247,6 +247,16 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
         # (bucket maxes only merge candidates, never drop a window).
         from rechorus_tpu.ops import pallas_topk as PT
 
+        if grouped_table is not None:
+            # a grouped copy built with a different bucket/nb than this
+            # call would pair candidate IDS from one partition with
+            # VECTORS from another -- plausible but wrong results
+            if grouped_table.shape[1] != bucket or \
+                    grouped_table.shape[0] * bucket < N:
+                raise ValueError(
+                    f"grouped_table {tuple(grouped_table.shape)} does not "
+                    f"match bucket={bucket}, N={N}; rebuild it with "
+                    "group_table_for_rescore(table, bucket=...)")
         bm = PT.fused_bucket_max(u, table, bucket=bucket, bias=bias,
                                  n_valid=n_valid, col_offset=col_offset)
         kk = min(k_wide, bm.shape[1])

@@ -791,13 +791,13 @@ class BaseRunner:
         """Bytes of the candidate axis in a dense full-catalog eval feed,
         estimated via jax.eval_shape on a 1-candidate probe (no compute,
         no device traffic): sum of per-candidate feed bytes x n_items x
-        eval batch rows."""
-        from rechorus_tpu.data.batching import LazyRows
-
+        eval batch rows. Reads shapes/dtypes from the HOST arrays --
+        batcher.device_arrays() would jnp.asarray-transfer the whole
+        eval split just to inspect shapes."""
         arrays = {
-            k: (jax.ShapeDtypeStruct(v.shape, v.dtype)
-                if isinstance(v, LazyRows) or hasattr(v, "shape") else v)
-            for k, v in batcher.device_arrays().items()
+            k: (jax.ShapeDtypeStruct(tuple(v.shape), np.dtype(v.dtype))
+                if hasattr(v, "shape") and hasattr(v, "dtype") else v)
+            for k, v in batcher.arrays.items()
         }
         B = min(self.eval_batch_size, len(batcher))
         idx = jax.ShapeDtypeStruct((B,), jnp.int32)

@@ -8,6 +8,7 @@ packages the round-5 serving kernels behind that shape:
 
     idx = ServeIndex.build(model, state, corpus, k=100)      # once
     items, scores = idx.query(user_ids)                      # many
+    # (same return order as BaseRunner.predict_topk)
 
 Build-time work (once, off the query path):
   * extract the user/item tables (+ item bias) from trained params via
@@ -98,7 +99,14 @@ class ServeIndex:
         bias = None
         for name in ("i_bias", "item_bias"):
             if name in params and "embedding" in params[name]:
-                bias = params[name]["embedding"].reshape(-1)
+                cand = params[name]["embedding"].reshape(-1)
+                if cand.shape[0] != i_table.shape[0]:
+                    raise ValueError(
+                        f"param {name!r} has {cand.shape[0]} rows but the "
+                        f"item table has {i_table.shape[0]}; pass the bias "
+                        "explicitly via from_tables")
+                bias = cand
+                break
         clicked = None
         if exclude_clicked and corpus is not None:
             clicked = jnp.asarray(
@@ -137,12 +145,13 @@ class ServeIndex:
         return query
 
     def query(self, user_ids):
-        """(scores [B, k], item ids [B, k]) -- top-k catalog items per
-        user, clicked/pad/dead rows excluded. Returns numpy. Fixed batch
-        shapes reuse the compiled program; pad ragged tails with user 0."""
+        """(item ids [B, k], scores [B, k]) -- top-k catalog items per
+        user, clicked/pad/dead rows excluded; same return order as
+        BaseRunner.predict_topk. Returns numpy. Fixed batch shapes reuse
+        the compiled program; pad ragged tails with user 0."""
         if not hasattr(self, "_compiled_query"):
-            object.__setattr__(self, "_compiled_query", self._query_fn())
+            self._compiled_query = self._query_fn()
         user_ids = jnp.asarray(user_ids, jnp.int32)
         v, i = self._compiled_query(self.u_table, self.i_table, self.i_bias,
                                     self.grouped, self.clicked, user_ids)
-        return np.asarray(v), np.asarray(i)
+        return np.asarray(i), np.asarray(v)

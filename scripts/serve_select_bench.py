@@ -8,10 +8,10 @@ batch. This bench times each candidate select strategy on the REAL chip
 so the product routing is measurement-driven:
 
   bucket_max      fused pallas stage 1 (bucket 16/32)
-  two_level       current `_exact_bucket_select`
-  direct_topk     full-width `lax.top_k` on the bucket-max matrix
-                  (several widths -> recalibrates MAX_DIRECT_BUCKET_TOPK,
-                  ADVICE r4)
+  direct_topk     full-width `lax.top_k` on the bucket-max matrix at
+                  several widths (the exact select since r5; the
+                  two-level `_exact_bucket_select` this bench originally
+                  measured was deleted -- see ops/topk.py's graveyard)
   approx_bm       `lax.approx_max_k` on the bucket-max matrix
   count_pass      one streaming `>= tau` count over the matrix (the
                   verify step of approx-select-with-exact-fallback)
@@ -78,7 +78,7 @@ def main():
     clicked = jnp.asarray(rng.integers(1, a.n, size=(a.b, a.m)), dtype=jnp.int32)
     kk = a.k + a.m
     stages = a.stages.split(",") if a.stages != "all" else [
-        "bucket_max", "two_level", "direct_topk", "approx_bm", "count_pass", "e2e"]
+        "bucket_max", "direct_topk", "approx_bm", "count_pass", "e2e"]
 
     def emit(name, dt, **kw):
         print(json.dumps({"stage": name, "ms": round(dt * 1e3, 2),
@@ -86,7 +86,7 @@ def main():
 
     bms = {}
     for bucket in (16, 32):
-        if "bucket_max" in stages or "two_level" in stages or "direct_topk" in stages \
+        if "bucket_max" in stages or "direct_topk" in stages \
                 or "approx_bm" in stages or "count_pass" in stages:
             fn = lambda uu, bb=bucket: PT.fused_bucket_max(uu, table, bucket=bb)
             if "bucket_max" in stages:
@@ -97,9 +97,9 @@ def main():
     bm = bms.get(16)
     if bm is not None:
         G = bm.shape[1]
-        if "two_level" in stages:
-            dt = timed(lambda x: topk_ops._exact_bucket_select(x, kk), bm, reps=a.reps)
-            emit("two_level_select", dt, width=G, kk=kk)
+        # ("two_level" stage removed with ops.topk._exact_bucket_select;
+        # its measurements live in docs/PERF.md r5 and the graveyard
+        # comment in ops/topk.py)
         if "direct_topk" in stages:
             for w in (6250, 16384, 31296, G):
                 sub = bm[:, :w]

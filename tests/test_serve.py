@@ -45,7 +45,7 @@ def test_serve_index_matches_runner_export(stack):
     items_r, scores_r = runner.predict_topk(
         state, model, batchers["test"], arrays["test"], "test", k=10)
     users = batchers["test"].arrays["user_id"][: items_r.shape[0]]
-    scores_s, items_s = idx.query(users)
+    items_s, scores_s = idx.query(users)
     np.testing.assert_allclose(scores_s, scores_r, rtol=2e-5, atol=1e-5)
     diff = items_s != items_r
     if diff.any():  # ties only
@@ -56,7 +56,7 @@ def test_serve_index_exclusions(stack):
     corpus, model, runner, batchers, arrays, state = stack
     idx = ServeIndex.build(model, state, corpus, k=20)
     users = np.arange(1, 33, dtype=np.int32)
-    _, items = idx.query(users)
+    items, _ = idx.query(users)
     assert not (items == 0).any()
     clicked = np.asarray(corpus.clicked_matrix(include_residual=True))
     for b, u in enumerate(users):
@@ -65,7 +65,7 @@ def test_serve_index_exclusions(stack):
 
     # without exclusion, clicked items may appear (they score high)
     idx2 = ServeIndex.build(model, state, corpus, k=20, exclude_clicked=False)
-    _, items2 = idx2.query(users)
+    items2, _ = idx2.query(users)
     assert any(set(int(x) for x in items2[b])
                & set(int(x) for x in clicked[u] if x > 0)
                for b, u in enumerate(users))
@@ -74,7 +74,7 @@ def test_serve_index_exclusions(stack):
 def test_serve_index_approx_smoke(stack):
     corpus, model, runner, batchers, arrays, state = stack
     idx = ServeIndex.build(model, state, corpus, k=10, approx=True)
-    v, items = idx.query(np.arange(1, 17, dtype=np.int32))
+    items, v = idx.query(np.arange(1, 17, dtype=np.int32))
     assert np.isfinite(v[:, 0]).all() and not (items == 0).any()
 
 
@@ -92,5 +92,5 @@ def test_serve_index_from_tables_transformed(stack):
     idx = ServeIndex.from_tables(rng.normal(size=(60, 8)).astype(np.float32),
                                  rng.normal(size=(900, 8)).astype(np.float32),
                                  k=5)
-    v, items = idx.query(np.arange(1, 9, dtype=np.int32))
+    items, v = idx.query(np.arange(1, 9, dtype=np.int32))
     assert v.shape == (8, 5) and not (items == 0).any()

@@ -108,9 +108,11 @@ def _bucket_max(s, bucket: int):
     return s.reshape(B, -1, bucket).max(-1)
 
 
-# EXACT bucket selection is a plain full-width `lax.top_k` at EVERY
-# width since r5. The graveyard, all measured same-session at B=4096,
-# kk=150 on the [4096, 62592] 1M-item bucket-max matrix (1 chip):
+# EXACT bucket selection: plain full-width `lax.top_k` below
+# TWO_LEVEL_MIN_G, `two_level_bucket_select` (contiguous-member
+# two-level, below) above it. The graveyard, all measured same-session
+# at B=4096, kk=150 on the [4096, 62592] 1M-item bucket-max matrix
+# (1 chip):
 #   * direct lax.top_k: 144 ms (31 ms @ G=6250, 70 ms @ 16384) -- the
 #     baseline that everything below tried and failed to beat;
 #   * r3/r4 two-level fan-16 super-bucket select: 190 ms -- its
@@ -129,6 +131,68 @@ def _bucket_max(s, bucket: int):
 # What actually moved the lane is stage 2: `group_table_for_rescore`
 # turned the rescore's scattered row-gather (113 ms) into contiguous
 # slice gathers (49 ms). See docs/PERF.md r5.
+#
+# Applying the same CONTIGUITY lesson back to the select (late r5)
+# finally beat direct top_k at wide G: the r3/r4 two-level select's
+# killer was its strided member-value gather; with members laid out as
+# the minor axis of a [B, G/F, F] reshape the gather is kk contiguous
+# F*4-byte slices per row, and the select drops to two narrow top_k
+# calls. Measured same-session (B=4096, G=62592, kk=150):
+# direct 143.7 ms vs fan-8 55.2 / fan-16 47.5 / fan-32 59.9 ms, ids
+# bit-identical to direct at fan<=16 (fan-32 differed on ONE exact
+# f32 value tie at the kk boundary -- scripts/serve_select_bench4.py).
+
+# contiguous two-level select fan; 16 measured best of {8, 16, 32}
+TWO_LEVEL_FAN = 16
+# route exact bucket select through the two-level path at/above this
+# width. Measured direct-top_k costs 31 / 70 / 144 ms at G = 6250 /
+# 16384 / 62592; the two-level select is 47.5 ms at 62592 and its cost
+# is dominated by width-independent stages (the [B, kk, F] member
+# gather + the [B, kk*F] final top_k), so it wins clearly at >=16k
+# buckets. Below that the direct select is already cheap and the 100k
+# lane (G=6250) keeps its measured 31 ms path.
+TWO_LEVEL_MIN_G = 16384
+
+
+def two_level_bucket_select(bm, kk: int, fan: int = TWO_LEVEL_FAN):
+    """Exact top-kk (values, column ids) over a wide [B, G] bucket-max
+    matrix via a CONTIGUOUS two-level select.
+
+    Reshape [B, G] -> [B, S, F] (super-bucket s owns the F contiguous
+    columns s*F..s*F+F-1), `top_k(kk)` over the [B, S] super maxes,
+    gather the winners' member rows as [B, kk, F] minor-dim slices
+    (contiguous -- the whole point; a strided layout here is the
+    12 ns/element scalar gather that killed the r3/r4 two-level select),
+    finish with `top_k(kk)` over the flattened [B, kk*F] members and map
+    flat positions back to column ids.
+
+    Exactness (same containment argument as `tiled_catalog_topk`'s): let
+    v* be the kk-th largest column. #columns >= v* is kk (no ties), each
+    lives in a super with max >= v*, so #supers with max >= v* <= kk and
+    ALL are in the top-kk supers; the gathered member set therefore
+    contains every column >= v* and the final top_k keeps them. On EXACT
+    f32 value ties at the kk boundary the choice among tied columns may
+    differ from `lax.top_k`'s lowest-index convention (members are
+    ordered by super rank here) -- tied candidates have equal scores, so
+    stage 2's rescored top-k values are unaffected; only which of two
+    equal-scoring ids is reported can swap (observed once in 4096 rows
+    x 62592 Gaussian buckets at fan=32).
+    """
+    B, G = bm.shape
+    if kk >= G or G <= fan * kk:
+        # few enough columns that the "two-level" gather would cover
+        # (nearly) the whole matrix -- direct is strictly simpler
+        return jax.lax.top_k(bm, min(kk, G))
+    pad = (-G) % fan
+    if pad:
+        bm = jnp.pad(bm, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    mem = bm.reshape(B, -1, fan)                             # [B, S, F]
+    _, sb = jax.lax.top_k(mem.max(-1), kk)                   # [B, kk] supers
+    rows = jnp.take_along_axis(mem, sb[:, :, None], axis=1)  # [B, kk, F] slices
+    gb_all = sb[:, :, None] * fan + jnp.arange(fan)[None, None, :]
+    v, sel = jax.lax.top_k(rows.reshape(B, -1), kk)
+    gb = jnp.take_along_axis(gb_all.reshape(B, -1), sel, axis=1)
+    return v, gb
 
 
 def group_table_for_rescore(table, bucket: int | None = None, nb: int = 128):
@@ -262,6 +326,9 @@ def tiled_catalog_topk(u, table, k: int, *, bias=None, clicked_rows=None,
         kk = min(k_wide, bm.shape[1])
         if approx:
             gv, gb = jax.lax.approx_max_k(bm, kk, recall_target=recall_target)
+            gb = gb.astype(jnp.int32)
+        elif bm.shape[1] >= TWO_LEVEL_MIN_G:
+            gv, gb = two_level_bucket_select(bm, kk)
             gb = gb.astype(jnp.int32)
         else:
             gv, gb = jax.lax.top_k(bm, kk)

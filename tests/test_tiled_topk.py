@@ -191,3 +191,71 @@ def test_tiled_topk_pallas_wide_bucket_matrix_matches_dense():
     finally:
         T.PALLAS = old_pallas
     np.testing.assert_allclose(np.asarray(tv), np.asarray(dv), rtol=1e-5)
+
+
+def test_two_level_bucket_select_matches_direct():
+    """The contiguous two-level exact select (r5, routes wide bucket-max
+    matrices at G >= TWO_LEVEL_MIN_G) must reproduce direct lax.top_k:
+    bit-identical ids on tie-free data, value-identical on ties (the
+    documented convention difference: tied ids may come back in
+    super-rank rather than lowest-index order)."""
+    from rechorus_tpu.ops.topk import two_level_bucket_select
+
+    rng = np.random.default_rng(3)
+    for B, G, kk, fan in [(7, 5000, 30, 16), (3, 4097, 150, 16),
+                          (5, 2048, 17, 8), (2, 640, 3, 16)]:
+        bm = jnp.asarray(rng.standard_normal((B, G)), dtype=jnp.float32)
+        dv, di = jax.lax.top_k(bm, kk)
+        tv, ti = two_level_bucket_select(bm, kk, fan)
+        np.testing.assert_array_equal(np.asarray(tv), np.asarray(dv),
+                                      err_msg=f"G={G}")
+        np.testing.assert_array_equal(np.asarray(ti), np.asarray(di),
+                                      err_msg=f"G={G}")
+
+    # adversarial exact ties: integer-valued f32 scores, heavy collisions
+    bm = jnp.asarray(rng.integers(0, 9, size=(6, 4000)).astype(np.float32))
+    dv, _ = jax.lax.top_k(bm, 50)
+    tv, ti = two_level_bucket_select(bm, 50, 16)
+    np.testing.assert_array_equal(np.asarray(tv), np.asarray(dv))
+    tin = np.asarray(ti)
+    # ids must be distinct and each id's value must match its slot value
+    for r in range(tin.shape[0]):
+        assert len(set(tin[r])) == tin.shape[1]
+    np.testing.assert_array_equal(np.asarray(bm)[np.arange(6)[:, None], tin],
+                                  np.asarray(tv))
+
+    # degenerate widths fall back to direct
+    bm = jnp.asarray(rng.standard_normal((4, 40)), dtype=jnp.float32)
+    dv, di = jax.lax.top_k(bm, 12)
+    tv, ti = two_level_bucket_select(bm, 12, 16)   # G <= fan*kk
+    np.testing.assert_array_equal(np.asarray(tv), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(di))
+
+
+def test_tiled_topk_two_level_route_matches_dense():
+    """End-to-end pallas path with the two-level select forced on (the
+    product route for G >= TWO_LEVEL_MIN_G wide catalogs) must match the
+    dense masked_topk oracle, incl. clicked knockout, bias, dead rows
+    and the grouped-rescore table."""
+    from rechorus_tpu.ops import topk as T
+    from rechorus_tpu.ops.topk import group_table_for_rescore
+
+    u, table, b, clicked = _setup(6100, B=9, D=8)
+    n_valid = 6091
+    dv, di = metrics_ops.masked_topk(
+        jnp.where(jnp.arange(6100)[None, :] < n_valid,
+                  u @ table.T + b[None, :], -jnp.inf).at[:, 0].set(-np.inf),
+        clicked, 10)
+    old_pallas, old_min = T.PALLAS, T.TWO_LEVEL_MIN_G
+    T.PALLAS, T.TWO_LEVEL_MIN_G = "on", 64
+    try:
+        tv, ti = tiled_catalog_topk(u, table, 10, bias=b, clicked_rows=clicked,
+                                    n_valid=n_valid, bucket=2)
+        gv, gi = tiled_catalog_topk(u, table, 10, bias=b, clicked_rows=clicked,
+                                    n_valid=n_valid, bucket=2,
+                                    grouped_table=group_table_for_rescore(table, bucket=2))
+    finally:
+        T.PALLAS, T.TWO_LEVEL_MIN_G = old_pallas, old_min
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(dv), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(dv), rtol=1e-5)

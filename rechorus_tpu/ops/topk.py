@@ -142,19 +142,27 @@ def _bucket_max(s, bucket: int):
 # bit-identical to direct at fan<=16 (fan-32 differed on ONE exact
 # f32 value tie at the kk boundary -- scripts/serve_select_bench4.py).
 
-# contiguous two-level select fan; 16 measured best of {8, 16, 32}
-TWO_LEVEL_FAN = 16
+# contiguous two-level select fan, by bucket-matrix width (measured
+# B=4096, kk=150, same-session pairs: G=6272 direct 27.3 / fan-8 22.2 /
+# fan-16 26.3 ms; G=62592 direct 143.7 / fan-8 55.2 / fan-16 47.5 /
+# fan-32 59.9 ms -- narrow matrices want the smaller fan's cheaper
+# member stage, wide ones the smaller super top_k)
+TWO_LEVEL_FAN_WIDE = 16
+TWO_LEVEL_FAN_NARROW = 8
+TWO_LEVEL_WIDE_G = 32768
 # route exact bucket select through the two-level path at/above this
-# width. Measured direct-top_k costs 31 / 70 / 144 ms at G = 6250 /
-# 16384 / 62592; the two-level select is 47.5 ms at 62592 and its cost
-# is dominated by width-independent stages (the [B, kk, F] member
-# gather + the [B, kk*F] final top_k), so it wins clearly at >=16k
-# buckets. Below that the direct select is already cheap and the 100k
-# lane (G=6250) keeps its measured 31 ms path.
-TWO_LEVEL_MIN_G = 16384
+# width; it wins at both measured widths (the 100k lane's G=6250 by
+# ~19%, the 1M lane's G=62592 by 3x) and below ~6k buckets direct
+# top_k is already cheap enough that the extra program is not worth
+# the unmeasured risk
+TWO_LEVEL_MIN_G = 6144
 
 
-def two_level_bucket_select(bm, kk: int, fan: int = TWO_LEVEL_FAN):
+def _two_level_fan(G: int) -> int:
+    return TWO_LEVEL_FAN_NARROW if G < TWO_LEVEL_WIDE_G else TWO_LEVEL_FAN_WIDE
+
+
+def two_level_bucket_select(bm, kk: int, fan: int | None = None):
     """Exact top-kk (values, column ids) over a wide [B, G] bucket-max
     matrix via a CONTIGUOUS two-level select.
 
@@ -179,6 +187,8 @@ def two_level_bucket_select(bm, kk: int, fan: int = TWO_LEVEL_FAN):
     x 62592 Gaussian buckets at fan=32).
     """
     B, G = bm.shape
+    if fan is None:
+        fan = _two_level_fan(G)
     if kk >= G or G <= fan * kk:
         # few enough columns that the "two-level" gather would cover
         # (nearly) the whole matrix -- direct is strictly simpler
